@@ -1,0 +1,524 @@
+"""Guidance-in-the-loop flow-matching sampler — the FOHO core algorithm.
+
+TPU-native re-design of Hunyuan3DDiTFlowMatchingPipeline_main.__call__
+(third_party_patches/hy3dgen/shapegen/pipelines.py:1041-1679): 20 reversed-
+sigma Euler steps with three optimization phases injected inside the loop,
+
+  step 9  (handopt_start):  PHASE 1 — 200 Adam steps on hand scale/trans/quat
+          losses: 1e-2 kps2D-MSE + normal + 10 disparity + silhouette-BCE
+          + 1e-2 trans reg                                  (:1295-1358)
+  step 10:                  PHASE 1.5 — 100 AdamW steps on obj scale/trans/
+          quat + noise_pred: step_final -> VAE grid decode -> surface ->
+          render; 1 edge + 10 normal + 10 disp + 100 sil-BCE + 1e-3 verts
+          + 1e-2 trans reg                                   (:1361-1453)
+  steps 11..19:             PHASE 2 — 50 AdamW steps jointly on all seven:
+          + 10 knn-attraction (margin 1cm, squared dists) + intersection
+          + HOI-scene normal/disp/sil + 1e-3 * hand losses   (:1455-1601)
+
+followed by the scheduler advancing with the OPTIMIZED noise prediction
+(:1612). CFG decays as scale*(1 - i/N) after guidance starts (:1283-1291).
+
+Everything is static-shaped: each phase's optimizer loop is a lax.scan whose
+body differentiates losses through scheduler.step_final -> ShapeVAE grid
+queries -> marching-tets surface extraction -> the tiled rasterizer. Empty
+meshes / NaN losses degrade to masked zero-contributions instead of Python
+`continue` (pipelines.py:1395-1397, 1442-1444).
+
+Intersection loss (:1551-1564): the reference builds 65^3 SDFs of BOTH meshes
+with Kaolin. The count it computes is gradient-free, so we compute it the
+cheap TPU way: object occupancy by trilinear lookup of the already-decoded
+object SDF grid (inverse-transformed sample points), hand occupancy by
+winding number against the 1538-face hand mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from followmyhold_tpu.configs.guidance import OptimizationConfig
+from followmyhold_tpu.diffusion.scheduler import FlowMatchSchedule, make_schedule, step, step_final
+from followmyhold_tpu.models.hunyuan import HunyuanDiT, ShapeVAE, vae_query_logits
+from followmyhold_tpu.models.mano import mano_vert_to_3dkps
+from followmyhold_tpu.ops.camera import GuidanceCamera
+from followmyhold_tpu.ops.grid import generate_dense_grid_points, generate_grid_jax
+from followmyhold_tpu.ops.knn import nn_sqdist
+from followmyhold_tpu.ops.losses import (
+    attraction_loss,
+    binary_cross_entropy,
+    masked_l1,
+    mesh_edge_loss,
+    mse,
+    normal_alignment_loss,
+    verts_reg_loss,
+)
+from followmyhold_tpu.ops.rasterizer import render_normal_and_disparity
+from followmyhold_tpu.ops.sdf import winding_number
+from followmyhold_tpu.ops.surface import (
+    PaddedMesh,
+    marching_tets,
+    mesh_edges,
+    vertex_normals,
+)
+from followmyhold_tpu.ops.transforms import (
+    rt_from_quat_trans,
+    transform_around_center_w_scale,
+    transform_points,
+)
+
+
+class GuidanceTargets(NamedTuple):
+    """Per-image inputs, all precomputed on host (moge/scene space)."""
+
+    mano_verts_moge: jnp.ndarray   # [778,3] aligned MANO verts in moge space
+    mano_faces: jnp.ndarray        # [Fh,3]
+    j_regressor: jnp.ndarray       # [16,778]
+    hamer_2d_kps: jnp.ndarray      # [21,2] image space
+    moge_normal: jnp.ndarray       # [H,W,3] target normal map (masked, 0-1)
+    moge_disp: jnp.ndarray         # [H,W] target disparity (masked, 0-1)
+    hand_mask: jnp.ndarray         # [H,W] bool
+    obj_mask: jnp.ndarray          # [H,W] bool
+    t_h2m: jnp.ndarray             # [4,4] hunyuan -> moge transform
+
+
+class PoseParams(NamedTuple):
+    scale: jnp.ndarray  # [1]
+    trans: jnp.ndarray  # [3]
+    quat: jnp.ndarray   # [4] wxyz
+
+
+class GuidanceResult(NamedTuple):
+    latents: jnp.ndarray
+    noise_pred: jnp.ndarray
+    hand: PoseParams
+    obj: PoseParams
+
+
+def init_pose() -> PoseParams:
+    return PoseParams(
+        scale=jnp.ones(1), trans=jnp.zeros(3),
+        quat=jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+    )
+
+
+def _transform_hand(targets: GuidanceTargets, p: PoseParams) -> jnp.ndarray:
+    rt = rt_from_quat_trans(p.quat, p.trans)
+    return transform_around_center_w_scale(targets.mano_verts_moge, rt, p.scale[0])
+
+
+def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
+    faces = targets.mano_faces
+    fmask = jnp.ones(faces.shape[0])
+    mesh = PaddedMesh(verts=verts, faces=faces,
+                      vert_mask=jnp.ones(verts.shape[0]), face_mask=fmask)
+    vn = vertex_normals(mesh)
+    n01, disp01, out = render_normal_and_disparity(
+        camera, verts, faces, vn, fmask, **raster_kw)
+
+    kps3d = mano_vert_to_3dkps(verts, targets.j_regressor)
+    kps2d = camera.project(kps3d)[:, :2]
+
+    losses = {
+        "kps2d": mse(kps2d, targets.hamer_2d_kps),
+        "normal": normal_alignment_loss(n01, targets.moge_normal, targets.hand_mask),
+        "disp": masked_l1(disp01, targets.moge_disp, targets.hand_mask),
+        "trans_reg": jnp.mean(jnp.square(jnp.zeros(()))),  # filled by caller
+    }
+    if with_sil:
+        losses["sil"] = binary_cross_entropy(out.alpha, targets.hand_mask)
+    return losses, (n01, disp01, out)
+
+
+def _decode_object(
+    vae: ShapeVAE, vae_params, sched: FlowMatchSchedule, step_i,
+    noise_pred, latents, xyz, bbox, octree_res, max_verts, max_faces, chunk,
+):
+    """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid."""
+    x1 = step_final(sched, step_i, noise_pred, latents)
+    logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk)[0]
+    sdf = -logits  # FOHO sign convention (pipelines.py:312)
+    mesh = marching_tets(sdf, bbox[0], bbox[1], octree_res,
+                         max_verts=max_verts, max_faces=max_faces)
+    return mesh, sdf
+
+
+def _transform_object(mesh: PaddedMesh, targets: GuidanceTargets,
+                      p: PoseParams) -> PaddedMesh:
+    v = transform_points(mesh.verts, targets.t_h2m)      # hunyuan -> moge
+    rt = rt_from_quat_trans(p.quat, p.trans)
+    v = transform_around_center_w_scale(v, rt, p.scale[0], mesh.vert_mask)
+    return mesh._replace(verts=v)
+
+
+def _join_meshes(a_verts, a_faces, a_vmask, a_fmask, b: PaddedMesh) -> PaddedMesh:
+    verts = jnp.concatenate([a_verts, b.verts])
+    faces = jnp.concatenate([a_faces, b.faces + a_verts.shape[0]])
+    return PaddedMesh(
+        verts=verts, faces=faces,
+        vert_mask=jnp.concatenate([a_vmask, b.vert_mask]),
+        face_mask=jnp.concatenate([a_fmask, b.face_mask]),
+    )
+
+
+def _intersection_count(hand_verts, hand_faces, obj: PaddedMesh,
+                        obj_sdf_grid, xyz_bbox, octree_res,
+                        targets: GuidanceTargets, obj_pose: PoseParams,
+                        sample_res: int = 32) -> jnp.ndarray:
+    """HO-NeRF intersection count / 1000 (pipelines.py:231-239), gradient-free
+    by construction in the reference too. Shared grid spans the joint bbox
+    (utilz/kaolin_sdf_ops.py:131-160)."""
+    big = jnp.asarray(jnp.finfo(jnp.float32).max)
+    hv_lo = hand_verts.min(axis=0)
+    hv_hi = hand_verts.max(axis=0)
+    om = obj.vert_mask[:, None].astype(bool)
+    ov_lo = jnp.where(om, obj.verts, big).min(axis=0)
+    ov_hi = jnp.where(om, obj.verts, -big).max(axis=0)
+    lo = jnp.minimum(hv_lo, ov_lo)
+    hi = jnp.maximum(hv_hi, ov_hi)
+    pts = generate_grid_jax(lo, hi, sample_res)          # [P,3] moge space
+
+    # hand occupancy: winding number against the (small) hand mesh
+    wn = winding_number(pts, hand_verts, hand_faces)
+    inside_hand = wn > 0.5
+
+    # object occupancy: invert similarity transform, trilinear-sample the
+    # already-decoded hunyuan-space SDF grid
+    rt = rt_from_quat_trans(obj_pose.quat, obj_pose.trans)
+    moge_v = transform_points(obj.verts, targets.t_h2m)
+    center = jnp.where(om, moge_v, big).min(axis=0)
+    center = (center + jnp.where(om, moge_v, -big).max(axis=0)) / 2.0
+    # p = s*R(q - c) + c + t  =>  q = R^T((p - c - t)/s) + c
+    q = (pts - center - obj_pose.trans) / jnp.maximum(obj_pose.scale[0], 1e-6)
+    q = q @ rt[:3, :3] + center
+    # moge -> hunyuan
+    inv = jnp.linalg.inv(targets.t_h2m)
+    q = transform_points(q, inv)
+
+    n = octree_res + 1
+    lo_h, hi_h = xyz_bbox
+    u = (q - lo_h) / (hi_h - lo_h) * octree_res
+    u = jnp.clip(u, 0.0, octree_res - 1e-4)
+    grid = obj_sdf_grid.reshape(n, n, n)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    def g(dx, dy, dz):
+        return grid[i0[:, 0] + dx, i0[:, 1] + dy, i0[:, 2] + dz]
+    sdf_obj = (
+        g(0, 0, 0) * (1 - f[:, 0]) * (1 - f[:, 1]) * (1 - f[:, 2])
+        + g(1, 0, 0) * f[:, 0] * (1 - f[:, 1]) * (1 - f[:, 2])
+        + g(0, 1, 0) * (1 - f[:, 0]) * f[:, 1] * (1 - f[:, 2])
+        + g(0, 0, 1) * (1 - f[:, 0]) * (1 - f[:, 1]) * f[:, 2]
+        + g(1, 1, 0) * f[:, 0] * f[:, 1] * (1 - f[:, 2])
+        + g(1, 0, 1) * f[:, 0] * (1 - f[:, 1]) * f[:, 2]
+        + g(0, 1, 1) * (1 - f[:, 0]) * f[:, 1] * f[:, 2]
+        + g(1, 1, 1) * f[:, 0] * f[:, 1] * f[:, 2]
+    )
+    inside_obj = sdf_obj < 0
+    return jnp.sum(inside_hand & inside_obj).astype(jnp.float32) / 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidedSampler:
+    """Bundles models + static config; the run() method drives 20 steps."""
+
+    dit: HunyuanDiT
+    vae: ShapeVAE
+    camera: GuidanceCamera
+    config: OptimizationConfig = OptimizationConfig()
+    box_v: float = 1.10
+    max_verts: int = 24576
+    max_faces: int = 49152
+    vae_chunk: int = 8192
+    raster_faces_per_tile: int = 4096
+    final_octree_resolution: Optional[int] = None  # None -> config value
+
+    # ------------------------------------------------------------------ #
+
+    def _grid(self):
+        res = self.config.octree_resolution
+        xyz, _, _ = generate_dense_grid_points([-self.box_v] * 3,
+                                               [self.box_v] * 3, res)
+        bbox = (jnp.asarray([-self.box_v] * 3), jnp.asarray([self.box_v] * 3))
+        return xyz, bbox, res
+
+    def _raster_kw(self):
+        return dict(faces_per_tile=self.raster_faces_per_tile)
+
+    # phase 1: hand only ------------------------------------------------ #
+
+    def _hand_phase(self, hand: PoseParams, targets: GuidanceTargets) -> PoseParams:
+        cfg = self.config
+        lrs = cfg.phase1_hand_lrs
+        tx = optax.multi_transform(
+            {
+                "scale": optax.adam(lrs.scale, eps=1e-4),
+                "trans": optax.adam(lrs.trans, eps=1e-4),
+                "quat": optax.adam(lrs.rot, eps=1e-4),
+            },
+            PoseParams(scale="scale", trans="trans", quat="quat"),
+        )
+
+        def loss_fn(p: PoseParams):
+            verts = _transform_hand(targets, p)
+            losses, _ = _hand_render_losses(
+                verts, targets, self.camera, self._raster_kw(), with_sil=True)
+            total = (
+                1e-2 * losses["kps2d"]
+                + 1.0 * losses["normal"]
+                + 10.0 * losses["disp"]
+                + 1.0 * losses["sil"]
+                + 1e-2 * jnp.mean(p.trans ** 2)
+            )
+            return jnp.where(jnp.isfinite(total), total, 0.0)
+
+        opt_state = tx.init(hand)
+
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (hand, _), losses = jax.lax.scan(
+            body, (hand, opt_state), None, length=cfg.optimization_steps_hand)
+        return hand
+
+    # phase 1.5: object transform + noise ------------------------------- #
+
+    def _obj_phase(
+        self, obj: PoseParams, noise_pred, latents, vae_params,
+        targets: GuidanceTargets, sched: FlowMatchSchedule, step_i,
+    ):
+        cfg = self.config
+        lrs = cfg.obj_2half_lrs
+        tx = optax.multi_transform(
+            {
+                "scale": optax.adamw(lrs.scale, eps=1e-4),
+                "trans": optax.adamw(lrs.trans, eps=1e-4),
+                "quat": optax.adamw(lrs.rot, eps=1e-4),
+                "noise": optax.adamw(cfg.noise_obj_lr1, eps=1e-4),
+            },
+            {"pose": PoseParams(scale="scale", trans="trans", quat="quat"),
+             "noise": "noise"},
+        )
+        xyz, bbox, res = self._grid()
+
+        def loss_fn(p):
+            mesh, _ = _decode_object(
+                self.vae, vae_params, sched, step_i, p["noise"], latents,
+                xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+            tmesh = _transform_object(mesh, targets, p["pose"])
+            vn = vertex_normals(tmesh)
+            n01, disp01, out = render_normal_and_disparity(
+                self.camera, tmesh.verts, tmesh.faces, vn, tmesh.face_mask,
+                **self._raster_kw())
+            edges, emask = mesh_edges(tmesh.faces, tmesh.face_mask)
+            total = (
+                1.0 * mesh_edge_loss(tmesh.verts, edges, emask)
+                + 10.0 * normal_alignment_loss(n01, targets.moge_normal, targets.obj_mask)
+                + 10.0 * masked_l1(disp01, targets.moge_disp, targets.obj_mask)
+                + 100.0 * binary_cross_entropy(out.alpha, targets.obj_mask)
+                + 1e-3 * verts_reg_loss(tmesh.verts, tmesh.vert_mask)
+                + 1e-2 * jnp.mean(p["pose"].trans ** 2)
+            )
+            return jnp.where(jnp.isfinite(total), total, 0.0)
+
+        params = {"pose": obj, "noise": noise_pred}
+        opt_state = tx.init(params)
+
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, _), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=cfg.optimization_steps_scale)
+        return params["pose"], params["noise"]
+
+    # phase 2: joint ----------------------------------------------------- #
+
+    def _joint_phase(
+        self, hand: PoseParams, obj: PoseParams, noise_pred, latents,
+        vae_params, targets: GuidanceTargets, sched: FlowMatchSchedule,
+        step_i, near_end: bool,
+    ):
+        cfg = self.config
+        h_lrs, o_lrs = cfg.phase2_hand_lrs, cfg.obj_lrs
+        tx = optax.multi_transform(
+            {
+                "h_scale": optax.adamw(h_lrs.scale, eps=1e-4),
+                "h_trans": optax.adamw(h_lrs.trans, eps=1e-4),
+                "h_quat": optax.adamw(h_lrs.rot, eps=1e-4),
+                "o_scale": optax.adamw(o_lrs.scale, eps=1e-4),
+                "o_trans": optax.adamw(o_lrs.trans, eps=1e-4),
+                "o_quat": optax.adamw(o_lrs.rot, eps=1e-4),
+                "noise": optax.adamw(cfg.noise_obj_lr2, eps=1e-4),
+            },
+            {
+                "hand": PoseParams(scale="h_scale", trans="h_trans", quat="h_quat"),
+                "obj": PoseParams(scale="o_scale", trans="o_trans", quat="o_quat"),
+                "noise": "noise",
+            },
+        )
+        xyz, bbox, res = self._grid()
+        hoi_mask = targets.hand_mask | targets.obj_mask
+
+        def loss_fn(p):
+            hand_verts = _transform_hand(targets, p["hand"])
+            h_losses, _ = _hand_render_losses(
+                hand_verts, targets, self.camera, self._raster_kw(), with_sil=False)
+            hand_loss = (
+                1e-4 * h_losses["kps2d"]
+                + 10.0 * h_losses["normal"]
+                + 10.0 * h_losses["disp"]
+                + 1e-2 * jnp.mean(p["hand"].trans ** 2)
+            )
+
+            mesh, sdf = _decode_object(
+                self.vae, vae_params, sched, step_i, p["noise"], latents,
+                xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+            tmesh = _transform_object(mesh, targets, p["obj"])
+
+            # attraction: squared NN distances hand->obj, clamp(d - 1cm)
+            # (pipelines.py:1529-1541; gradients flow through the HAND verts)
+            d2, _ = nn_sqdist(hand_verts, jax.lax.stop_gradient(tmesh.verts),
+                              tmesh.vert_mask)
+            # empty object mesh -> masked NN distances are huge sentinels;
+            # clamp and zero the term (reference skips via `continue`)
+            has_obj = tmesh.vert_mask.sum() > 0
+            d2 = jnp.where(has_obj, jnp.minimum(d2, 1e6), 0.0)
+            distance_loss = attraction_loss(d2, margin=0.01)
+
+            # intersection (gradient-free count, parity with :1551-1564)
+            if cfg.use_intersection_loss:
+                inter = _intersection_count(
+                    jax.lax.stop_gradient(hand_verts), targets.mano_faces,
+                    jax.tree_util.tree_map(jax.lax.stop_gradient, tmesh),
+                    jax.lax.stop_gradient(sdf), bbox, res, targets, p["obj"])
+            else:
+                inter = jnp.asarray(0.0)
+            w_inter = jnp.where(
+                (d2.mean() < 0.001) & near_end, 1e-5, 1e-9)
+
+            hoi = _join_meshes(hand_verts, targets.mano_faces,
+                               jnp.ones(hand_verts.shape[0]),
+                               jnp.ones(targets.mano_faces.shape[0]), tmesh)
+            vn = vertex_normals(hoi)
+            n01, disp01, out = render_normal_and_disparity(
+                self.camera, hoi.verts, hoi.faces, vn, hoi.face_mask,
+                **self._raster_kw())
+
+            edges, emask = mesh_edges(tmesh.faces, tmesh.face_mask)
+            total = (
+                w_inter * inter
+                + 10.0 * distance_loss
+                + 10.0 * normal_alignment_loss(n01, targets.moge_normal, hoi_mask)
+                + 10.0 * masked_l1(disp01, targets.moge_disp)
+                + 10.0 * binary_cross_entropy(out.alpha, hoi_mask)
+                + 1e-3 * verts_reg_loss(tmesh.verts, tmesh.vert_mask)
+                + 1.0 * mesh_edge_loss(tmesh.verts, edges, emask)
+                + 1e-3 * jnp.mean(p["obj"].trans ** 2)
+                + 1e-3 * hand_loss
+            )
+            return jnp.where(jnp.isfinite(total), total, 0.0)
+
+        params = {"hand": hand, "obj": obj, "noise": noise_pred}
+        opt_state = tx.init(params)
+
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, _), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=cfg.optimization_steps_joint)
+        return params["hand"], params["obj"], params["noise"]
+
+    # main loop ----------------------------------------------------------- #
+
+    def run(
+        self,
+        dit_params,
+        vae_params,
+        cond_main: jnp.ndarray,     # [1,M,C]
+        uncond_main: jnp.ndarray,   # [1,M,C]
+        targets: GuidanceTargets,
+        key: jax.Array,
+        latent_shape: Tuple[int, int],
+    ) -> GuidanceResult:
+        cfg = self.config
+        n = cfg.num_inference_steps
+        sched = make_schedule(sigmas=np.linspace(0, 1, n))
+        latents = jax.random.normal(key, (1, *latent_shape), jnp.float32)
+        hand, obj = init_pose(), init_pose()
+        cond_cat = jnp.concatenate([cond_main, uncond_main], axis=0)
+
+        @jax.jit
+        def dit_step(lat, i, g_scale):
+            t = sched.timesteps[i] / sched.num_train_timesteps
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            tt = jnp.full((2,), t, lat.dtype)
+            eps = self.dit.apply(dit_params, lat_in, tt, cond_cat)
+            eps_c, eps_u = jnp.split(eps, 2, axis=0)
+            return eps_u + g_scale * (eps_c - eps_u)
+
+        hand_phase = jax.jit(self._hand_phase)
+        obj_phase = jax.jit(partial(self._obj_phase), static_argnums=())
+        joint_phase = jax.jit(self._joint_phase, static_argnames=("near_end",))
+        advance = jax.jit(lambda i, eps, lat: step(sched, i, eps, lat)[0])
+
+        noise_pred = jnp.zeros_like(latents)
+        for i in range(n):
+            # CFG decay after guidance starts (pipelines.py:1283-1291)
+            if i >= cfg.guidance_start_step + 1:
+                g = cfg.obj_guidance_scale * (1 - i / n)
+            else:
+                g = cfg.obj_guidance_scale
+            noise_pred = dit_step(latents, i, g)
+
+            if i == cfg.handopt_start_step:
+                hand = hand_phase(hand, targets)
+            elif i == cfg.handopt_start_step + 1:
+                obj, noise_pred = obj_phase(
+                    obj, noise_pred, latents, vae_params, targets, sched, i)
+            elif i >= cfg.handopt_start_step + 2:
+                hand, obj, noise_pred = joint_phase(
+                    hand, obj, noise_pred, latents, vae_params, targets, sched,
+                    i, near_end=bool(i >= n - 3))
+
+            latents = advance(i, noise_pred, latents)
+
+        return GuidanceResult(latents=latents, noise_pred=noise_pred,
+                              hand=hand, obj=obj)
+
+    def export_meshes(
+        self, vae_params, result: GuidanceResult, targets: GuidanceTargets,
+        octree_resolution: Optional[int] = None,
+        max_verts: Optional[int] = None, max_faces: Optional[int] = None,
+    ) -> Tuple[PaddedMesh, jnp.ndarray]:
+        """Final decode (reference does 384^3 at pipelines.py:1624-1641) and
+        the transformed meshes in moge space."""
+        res = octree_resolution or self.config.octree_resolution
+        xyz, _, _ = generate_dense_grid_points([-self.box_v] * 3,
+                                               [self.box_v] * 3, res)
+        logits = vae_query_logits(self.vae, vae_params, result.latents,
+                                  xyz[None], self.vae_chunk)[0]
+        sdf = -logits
+        mesh = marching_tets(
+            sdf, jnp.asarray([-self.box_v] * 3), jnp.asarray([self.box_v] * 3),
+            res, max_verts=max_verts or self.max_verts,
+            max_faces=max_faces or self.max_faces)
+        obj_mesh = _transform_object(mesh, targets, result.obj)
+        hand_verts = _transform_hand(targets, result.hand)
+        return obj_mesh, hand_verts

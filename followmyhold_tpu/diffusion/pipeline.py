@@ -1,0 +1,92 @@
+"""Plain flow-matching shape sampling (stage-11 parity) as one jitted scan.
+
+Replaces Hunyuan3DDiTFlowMatchingPipeline.__call__ (pipelines.py:896-998):
+CFG double-batch DiT forwards over the reversed-sigma schedule, then VAE grid
+decode -> (negated) SDF -> marching-tets mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followmyhold_tpu.diffusion.scheduler import make_schedule, step
+from followmyhold_tpu.models.hunyuan import HunyuanDiT, ShapeVAE, vae_query_logits
+from followmyhold_tpu.ops.grid import generate_dense_grid_points
+from followmyhold_tpu.ops.surface import PaddedMesh, marching_tets
+
+
+class SampleConfig(NamedTuple):
+    num_inference_steps: int = 30
+    guidance_scale: float = 7.5
+    box_v: float = 1.01
+    octree_resolution: int = 384
+    max_verts: int = 196608
+    max_faces: int = 393216
+
+
+def denoise_latents(
+    dit: HunyuanDiT,
+    dit_params,
+    cond_main: jnp.ndarray,      # [B, M, C]
+    uncond_main: jnp.ndarray,    # [B, M, C]
+    key: jax.Array,
+    latent_shape: Tuple[int, int],
+    num_inference_steps: int = 30,
+    guidance_scale: float = 7.5,
+) -> jnp.ndarray:
+    """The 30-step CFG sampling loop (pipelines.py:961-984) as lax.scan."""
+    B = cond_main.shape[0]
+    sched = make_schedule(sigmas=np.linspace(0, 1, num_inference_steps))
+    latents = jax.random.normal(key, (B, *latent_shape), jnp.float32)
+    cond_cat = jnp.concatenate([cond_main, uncond_main], axis=0)
+
+    def body(lat, i):
+        t = sched.timesteps[i] / sched.num_train_timesteps
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        tt = jnp.full((2 * B,), t, lat.dtype)
+        eps = dit.apply(dit_params, lat_in, tt, cond_cat)
+        eps_c, eps_u = jnp.split(eps, 2, axis=0)
+        eps_cfg = eps_u + guidance_scale * (eps_c - eps_u)
+        lat, _ = step(sched, i, eps_cfg, lat)
+        return lat, None
+
+    latents, _ = jax.lax.scan(body, latents, jnp.arange(num_inference_steps))
+    return latents
+
+
+def latents_to_mesh(
+    vae: ShapeVAE,
+    vae_params,
+    latents: jnp.ndarray,        # [1, L, E]
+    octree_resolution: int = 64,
+    box_v: float = 1.10,
+    max_verts: int = 24576,
+    max_faces: int = 49152,
+    chunk: int = 8192,
+) -> PaddedMesh:
+    """VAE grid decode -> negated logits -> surface (latent2sdf semantics,
+    pipelines.py:292-338: sdf = -logits so inside < 0)."""
+    xyz, grid_size, _ = generate_dense_grid_points(
+        [-box_v] * 3, [box_v] * 3, octree_resolution)
+    logits = vae_query_logits(vae, vae_params, latents, xyz[None], chunk)[0]
+    sdf = -logits
+    return marching_tets(
+        sdf, jnp.asarray([-box_v] * 3), jnp.asarray([box_v] * 3),
+        octree_resolution, max_verts=max_verts, max_faces=max_faces)
+
+
+def latent_to_sdf_grid(
+    vae: ShapeVAE,
+    vae_params,
+    latents: jnp.ndarray,
+    xyz: jnp.ndarray,            # [N,3] flattened grid
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Differentiable latent -> SDF values at xyz (negated logits)."""
+    logits = vae_query_logits(vae, vae_params, latents, xyz[None], chunk)[0]
+    return -logits

@@ -1,0 +1,439 @@
+"""Hunyuan3D-2 shape-generation stack in Flax: flow-matching DiT + ShapeVAE
+decoder + image conditioner.
+
+The reference consumes an external Hunyuan3D-2 clone whose contract is visible
+in the patched pipeline (third_party_patches/hy3dgen/shapegen/pipelines.py):
+- model(latents [B,L,E], timestep [B] in 0..1, cond, guidance=None) -> eps
+  (pipelines.py:972, 1280),
+- vae.scale_factor, vae.latent_shape, vae(latents) -> decoded feature set,
+  vae.geo_decoder(queries [B,N,3], decoded) -> occupancy logits
+  (pipelines.py:292-312),
+- conditioner(image=..., mask=...) -> {'main': tokens};
+  conditioner.unconditional_embedding(bsz) (pipelines.py:599-638).
+
+Architectures here are TPU-first re-designs of the same shapes: a FLUX-style
+double/single-stream DiT with adaLN modulation over latent tokens + image
+condition tokens, and a vecset ShapeVAE decoder whose geo_decoder is one
+cross-attention readout over Fourier-embedded query points (chunked with
+lax.map, MXU-shaped). Exact layer counts/widths are config so converted
+checkpoints can set them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from followmyhold_tpu.ops.attention import multi_head_attention
+
+
+# ---------------------------------------------------------------------------
+# common blocks
+# ---------------------------------------------------------------------------
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding of t in [0,1] (scaled by 1000, FLUX convention)."""
+    t = t.astype(jnp.float32) * 1000.0
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class MlpEmbedder(nn.Module):
+    hidden: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="in_layer")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="out_layer")(x)
+
+
+def _split_heads(x, heads):
+    B, N, D = x.shape
+    return x.reshape(B, N, heads, D // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
+class Modulation(nn.Module):
+    hidden: int
+    n_mods: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, vec):
+        out = nn.Dense(self.n_mods * self.hidden, dtype=self.dtype, name="lin")(
+            nn.silu(vec))
+        return jnp.split(out[:, None, :], self.n_mods, axis=-1)
+
+
+def _modulate(x, shift, scale):
+    return x * (1 + scale) + shift
+
+
+class DoubleStreamBlock(nn.Module):
+    """Joint attention over (latent, cond) streams with per-stream adaLN."""
+
+    hidden: int
+    heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, c, vec):
+        h = self.hidden
+        x_mods = Modulation(h, 6, self.dtype, name="img_mod")(vec)
+        c_mods = Modulation(h, 6, self.dtype, name="txt_mod")(vec)
+
+        def qkv(stream, name):
+            q, k, v = jnp.split(
+                nn.Dense(3 * h, dtype=self.dtype, name=f"{name}_qkv")(stream), 3, -1)
+            q = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name=f"{name}_qnorm")(
+                _split_heads(q, self.heads)).astype(self.dtype)
+            k = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name=f"{name}_knorm")(
+                _split_heads(k, self.heads)).astype(self.dtype)
+            return q, k, _split_heads(v, self.heads)
+
+        xn = nn.LayerNorm(dtype=jnp.float32, use_bias=False, use_scale=False,
+                          name="img_norm1")(x).astype(self.dtype)
+        xn = _modulate(xn, x_mods[0], x_mods[1])
+        cn = nn.LayerNorm(dtype=jnp.float32, use_bias=False, use_scale=False,
+                          name="txt_norm1")(c).astype(self.dtype)
+        cn = _modulate(cn, c_mods[0], c_mods[1])
+
+        xq, xk, xv = qkv(xn, "img")
+        cq, ck, cv = qkv(cn, "txt")
+        q = jnp.concatenate([cq, xq], axis=2)
+        k = jnp.concatenate([ck, xk], axis=2)
+        v = jnp.concatenate([cv, xv], axis=2)
+        attn = _merge_heads(multi_head_attention(q, k, v))
+        c_attn, x_attn = attn[:, : c.shape[1]], attn[:, c.shape[1]:]
+
+        x = x + x_mods[2] * nn.Dense(h, dtype=self.dtype, name="img_proj")(x_attn)
+        c = c + c_mods[2] * nn.Dense(h, dtype=self.dtype, name="txt_proj")(c_attn)
+
+        def mlp(stream, shift, scale, gate, name):
+            s = nn.LayerNorm(dtype=jnp.float32, use_bias=False, use_scale=False,
+                             name=f"{name}_norm2")(stream).astype(self.dtype)
+            s = _modulate(s, shift, scale)
+            s = nn.Dense(int(h * self.mlp_ratio), dtype=self.dtype, name=f"{name}_mlp1")(s)
+            s = nn.gelu(s, approximate=True)
+            return stream + gate * nn.Dense(h, dtype=self.dtype, name=f"{name}_mlp2")(s)
+
+        x = mlp(x, x_mods[3], x_mods[4], x_mods[5], "img")
+        c = mlp(c, c_mods[3], c_mods[4], c_mods[5], "txt")
+        return x, c
+
+
+class SingleStreamBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, vec):
+        h = self.hidden
+        mods = Modulation(h, 3, self.dtype, name="mod")(vec)
+        xn = nn.LayerNorm(dtype=jnp.float32, use_bias=False, use_scale=False,
+                          name="pre_norm")(x).astype(self.dtype)
+        xn = _modulate(xn, mods[0], mods[1])
+        mlp_dim = int(h * self.mlp_ratio)
+        qkv_mlp = nn.Dense(3 * h + mlp_dim, dtype=self.dtype, name="linear1")(xn)
+        q, k, v, m = jnp.split(qkv_mlp, [h, 2 * h, 3 * h], axis=-1)
+        q = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name="qnorm")(
+            _split_heads(q, self.heads)).astype(self.dtype)
+        k = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name="knorm")(
+            _split_heads(k, self.heads)).astype(self.dtype)
+        attn = _merge_heads(multi_head_attention(q, k, _split_heads(v, self.heads)))
+        out = nn.Dense(h, dtype=self.dtype, name="linear2")(
+            jnp.concatenate([attn, nn.gelu(m, approximate=True)], axis=-1))
+        return x + mods[2] * out
+
+
+# ---------------------------------------------------------------------------
+# DiT
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    in_channels: int = 64
+    context_dim: int = 1536          # conditioner token dim
+    hidden: int = 2048
+    heads: int = 16
+    depth_double: int = 8
+    depth_single: int = 16
+    mlp_ratio: float = 4.0
+    guidance_embed: bool = False     # lcm-distilled variants embed the scale
+    time_dim: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+DIT_FULL = DiTConfig()
+DIT_TINY = DiTConfig(hidden=64, heads=4, depth_double=1, depth_single=2,
+                     context_dim=32, time_dim=32, dtype=jnp.float32)
+
+
+class HunyuanDiT(nn.Module):
+    """eps = DiT(latents, t, cond): flow-matching velocity prediction."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: jnp.ndarray,   # [B, L, in_channels]
+        timestep: jnp.ndarray,  # [B] in [0,1]
+        cond: jnp.ndarray,      # [B, M, context_dim]
+        guidance: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        x = nn.Dense(c.hidden, dtype=c.dtype, name="latent_in")(
+            latents.astype(c.dtype))
+        ctx = nn.Dense(c.hidden, dtype=c.dtype, name="cond_in")(cond.astype(c.dtype))
+
+        vec = MlpEmbedder(c.hidden, c.dtype, name="time_in")(
+            timestep_embedding(timestep, c.time_dim).astype(c.dtype))
+        if c.guidance_embed:
+            g = jnp.zeros_like(timestep) if guidance is None else guidance
+            vec = vec + MlpEmbedder(c.hidden, c.dtype, name="guidance_in")(
+                timestep_embedding(g / 1000.0, c.time_dim).astype(c.dtype))
+
+        for i in range(c.depth_double):
+            x, ctx = DoubleStreamBlock(c.hidden, c.heads, c.mlp_ratio, c.dtype,
+                                       name=f"double{i}")(x, ctx, vec)
+        s = jnp.concatenate([ctx, x], axis=1)
+        for i in range(c.depth_single):
+            s = SingleStreamBlock(c.hidden, c.heads, c.mlp_ratio, c.dtype,
+                                  name=f"single{i}")(s, vec)
+        x = s[:, ctx.shape[1]:]
+
+        shift, scale = Modulation(c.hidden, 2, c.dtype, name="final_mod")(vec)
+        x = nn.LayerNorm(dtype=jnp.float32, use_bias=False, use_scale=False,
+                         name="final_norm")(x).astype(c.dtype)
+        x = _modulate(x, shift, scale)
+        return nn.Dense(c.in_channels, dtype=jnp.float32, name="final_proj")(x)
+
+
+# ---------------------------------------------------------------------------
+# ShapeVAE (decode path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ShapeVAEConfig:
+    num_latents: int = 3072
+    embed_dim: int = 64
+    width: int = 1024
+    heads: int = 16
+    depth: int = 16
+    geo_heads: int = 16
+    fourier_freqs: int = 8
+    scale_factor: float = 1.0039506158752403  # hy3dgen shapevae default
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+VAE_FULL = ShapeVAEConfig()
+VAE_TINY = ShapeVAEConfig(num_latents=16, embed_dim=8, width=32, heads=4,
+                          depth=1, geo_heads=4, dtype=jnp.float32)
+
+
+def fourier_embed(x: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """[..., 3] -> [..., 3 * (2*num_freqs + 1)] (include input)."""
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=jnp.float32)
+    ang = x[..., None] * freqs  # [..., 3, F]
+    emb = jnp.concatenate(
+        [x[..., None], jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return emb.reshape(*x.shape[:-1], -1)
+
+
+class VAESelfBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(h)
+        q, k, v = (_split_heads(t, self.heads) for t in jnp.split(qkv, 3, -1))
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(
+            _merge_heads(multi_head_attention(q, k, v)))
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
+        h = nn.Dense(4 * self.width, dtype=self.dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        return x + nn.Dense(self.width, dtype=self.dtype, name="fc2")(h)
+
+
+class ShapeVAEDecoder(nn.Module):
+    """latents [B,L,E] -> feature set [B,L,width] (reference `vae(latents)`)."""
+
+    cfg: ShapeVAEConfig
+
+    @nn.compact
+    def __call__(self, latents: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        x = nn.Dense(c.width, dtype=c.dtype, name="post_kl")(latents.astype(c.dtype))
+        for i in range(c.depth):
+            x = VAESelfBlock(c.width, c.heads, c.dtype, name=f"block{i}")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(c.dtype)
+
+
+class GeoDecoder(nn.Module):
+    """Occupancy-logit query head: cross-attend Fourier-embedded points to the
+    decoded latent set (reference vae.geo_decoder, pipelines.py:305)."""
+
+    cfg: ShapeVAEConfig
+
+    @nn.compact
+    def __call__(self, queries: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        q = fourier_embed(queries, c.fourier_freqs)
+        q = nn.Dense(c.width, dtype=c.dtype, name="query_in")(q.astype(c.dtype))
+        qn = nn.LayerNorm(dtype=jnp.float32, name="lnq")(q).astype(c.dtype)
+        kv = nn.Dense(2 * c.width, dtype=c.dtype, name="kv")(
+            nn.LayerNorm(dtype=jnp.float32, name="lnkv")(features).astype(c.dtype))
+        k, v = jnp.split(kv, 2, -1)
+        qh = _split_heads(nn.Dense(c.width, dtype=c.dtype, name="q")(qn), c.geo_heads)
+        attn = multi_head_attention(qh, _split_heads(k, c.geo_heads),
+                                    _split_heads(v, c.geo_heads))
+        x = q + nn.Dense(c.width, dtype=c.dtype, name="proj")(_merge_heads(attn))
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_out")(x)
+        return nn.Dense(1, dtype=jnp.float32, name="logit")(x)[..., 0]
+
+
+class ShapeVAE(nn.Module):
+    """Bundles decoder + geo head behind the reference's call contract.
+
+    __call__(latents, queries) touches BOTH submodules so a single init
+    creates all params; queries=None returns the decoded feature set only.
+    """
+
+    cfg: ShapeVAEConfig
+
+    def setup(self):
+        self.decoder = ShapeVAEDecoder(self.cfg)
+        self.geo = GeoDecoder(self.cfg)
+
+    def __call__(self, latents: jnp.ndarray,
+                 queries: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        feats = self.decoder(latents)
+        if queries is None:
+            return feats
+        return self.geo(queries, feats)
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(latents)
+
+    def geo_decoder(self, queries: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
+        return self.geo(queries, features)
+
+
+def vae_query_logits(
+    vae: ShapeVAE,
+    params,
+    latents: jnp.ndarray,
+    queries: jnp.ndarray,
+    chunk: int = 8192,
+) -> jnp.ndarray:
+    """Scaled decode + chunked grid query (reference latent2sdf,
+    pipelines.py:292-312; chunk 8000 -> padded to an MXU-friendly 8192).
+    Returns logits [B, N] (raw; FOHO negates to get inside<0).
+
+    Chunking uses lax.map over vae.apply (a pure fn), keeping the per-chunk
+    cross-attention in VMEM-friendly sizes while the weights stay resident.
+    """
+    feats = vae.apply(params, latents / vae.cfg.scale_factor,
+                      method=ShapeVAE.decode)
+    B, N, _ = queries.shape
+    pad = (-N) % chunk
+    qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
+    qc = qp.reshape(B, -1, chunk, 3).transpose(1, 0, 2, 3)  # [n_chunks,B,chunk,3]
+    logits = jax.lax.map(
+        lambda q: vae.apply(params, q, feats, method=ShapeVAE.geo_decoder), qc)
+    logits = logits.transpose(1, 0, 2).reshape(B, -1)
+    return logits[:, :N]
+
+
+# ---------------------------------------------------------------------------
+# conditioner
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ConditionerConfig:
+    """DINOv2-G image encoder -> main cond tokens (hy3dgen conditioner)."""
+
+    image_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1536
+    depth: int = 40
+    heads: int = 24
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+COND_FULL = ConditionerConfig()
+COND_TINY = ConditionerConfig(image_size=28, patch_size=14, embed_dim=32,
+                              depth=1, heads=2, dtype=jnp.float32)
+
+
+class ImageConditioner(nn.Module):
+    """image [B,H,W,3] in [0,1] (+optional mask channel) -> {'main': tokens}.
+
+    Matches conditioner(image=..., mask=...) + unconditional_embedding(bsz)
+    (pipelines.py:599-638). The unconditional embedding is a learned token
+    table, converted from the checkpoint.
+    """
+
+    cfg: ConditionerConfig
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        from followmyhold_tpu.models.vit import ViT, ViTConfig
+
+        c = self.cfg
+        vcfg = ViTConfig(
+            img_size=(c.image_size, c.image_size), patch_size=c.patch_size,
+            embed_dim=c.embed_dim, depth=c.depth, num_heads=c.heads,
+            use_cls_token=True, layerscale_init=1e-5, dtype=c.dtype,
+        )
+        x = image
+        if mask is not None:
+            x = jnp.concatenate([x, mask[..., None]], axis=-1)
+        mean = jnp.asarray([0.485, 0.456, 0.406] + ([0.5] if mask is not None else []))
+        std = jnp.asarray([0.229, 0.224, 0.225] + ([0.5] if mask is not None else []))
+        x = (x - mean) / std
+        if x.shape[1] != c.image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], c.image_size, c.image_size, x.shape[-1]), "bilinear")
+        tokens = ViT(vcfg, name="encoder")(x)
+        return {"main": tokens}
+
+
+class Conditioner(nn.Module):
+    cfg: ConditionerConfig
+
+    def setup(self):
+        n_tokens = (self.cfg.image_size // self.cfg.patch_size) ** 2
+        self.encoder = ImageConditioner(self.cfg)
+        self.uncond_embedding = self.param(
+            "uncond_embedding", nn.initializers.zeros,
+            (1, n_tokens, self.cfg.embed_dim), jnp.float32)
+
+    def __call__(self, image, mask=None):
+        return self.encoder(image, mask)
+
+    def unconditional_embedding(self, bsz: int):
+        return {"main": jnp.tile(self.uncond_embedding, (bsz, 1, 1))}

@@ -1,0 +1,194 @@
+"""Generic ViT encoder (Flax) shared by HaMeR (ViT-H/16, ViTPose-style) and
+MoGe's DINOv2-L/14 encoder.
+
+Reference architectures:
+- HaMeR backbone: img 256x192, patch 16, width 1280, depth 32, heads 16,
+  qkv_bias, no cls token in output feature map
+  (hamer/models/backbones/vit.py:12-24).
+- DINOv2 ViT-L/14: width 1024, depth 24, heads 16, cls token, LayerScale
+  (MoGe/moge/model/dinov2/).
+
+Precision policy: params in fp32, matmuls in bf16 (TPU MXU), layernorm/softmax
+accumulate fp32. Attention dispatches to the Pallas flash kernel on TPU
+(ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from followmyhold_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: Tuple[int, int] = (256, 192)   # (H, W)
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_cls_token: bool = False
+    num_register_tokens: int = 0
+    layerscale_init: Optional[float] = None  # DINOv2 uses 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return (self.img_size[0] // self.patch_size, self.img_size[1] // self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid
+        return gh * gw
+
+
+HAMER_VIT_H = ViTConfig()  # the exact HaMeR backbone shape
+
+DINOV2_VIT_L = ViTConfig(
+    img_size=(518, 518), patch_size=14, embed_dim=1024, depth=24, num_heads=16,
+    use_cls_token=True, layerscale_init=1e-5,
+)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        B, N, D = x.shape
+        head_dim = D // c.num_heads
+        qkv = nn.Dense(3 * D, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, c.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = jnp.transpose(q, (0, 2, 1, 3))
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
+        out = multi_head_attention(q, k, v)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, D)
+        return nn.Dense(D, dtype=c.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        hidden = int(c.embed_dim * c.mlp_ratio)
+        x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(c.embed_dim, dtype=c.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+
+        def maybe_scale(y, name):
+            if c.layerscale_init is None:
+                return y
+            gamma = self.param(name, nn.initializers.constant(c.layerscale_init),
+                               (c.embed_dim,), jnp.float32)
+            return y * gamma.astype(y.dtype)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(c.dtype)
+        x = x + maybe_scale(Attention(c, name="attn")(h), "ls1")
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(c.dtype)
+        x = x + maybe_scale(Mlp(c, name="mlp")(h), "ls2")
+        return x
+
+
+def interpolate_pos_embed(pos: jnp.ndarray, src_grid, dst_grid) -> jnp.ndarray:
+    """Bicubic pos-embed resize (reference get_abs_pos, vit.py:26-57)."""
+    if tuple(src_grid) == tuple(dst_grid):
+        return pos
+    c = pos.shape[-1]
+    grid = pos.reshape(1, src_grid[0], src_grid[1], c)
+    out = jax.image.resize(grid, (1, dst_grid[0], dst_grid[1], c), method="cubic")
+    return out.reshape(1, dst_grid[0] * dst_grid[1], c)
+
+
+class ViT(nn.Module):
+    """Returns final tokens [B, N, C] (patch tokens only; cls/regs stripped)
+    or, when out_layers is given, a list of intermediate token maps."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,  # [B, H, W, 3] float
+        out_layers: Optional[Sequence[int]] = None,
+    ):
+        c = self.cfg
+        B, H, W, _ = images.shape
+        gh, gw = H // c.patch_size, W // c.patch_size
+
+        x = nn.Conv(
+            c.embed_dim, kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), dtype=c.dtype, name="patch_embed",
+        )(images.astype(c.dtype))
+        x = x.reshape(B, gh * gw, c.embed_dim)
+
+        n_prefix = (1 if c.use_cls_token else 0) + c.num_register_tokens
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, c.num_patches + (1 if c.use_cls_token else 0), c.embed_dim),
+            jnp.float32,
+        )
+        if c.use_cls_token:
+            cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        else:
+            cls_pos, patch_pos = None, pos
+        patch_pos = interpolate_pos_embed(patch_pos, c.grid, (gh, gw))
+
+        x = x + patch_pos.astype(c.dtype)
+        if c.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c.embed_dim),
+                             jnp.float32)
+            cls = (cls + cls_pos).astype(c.dtype)
+            tokens = [jnp.tile(cls, (B, 1, 1))]
+            if c.num_register_tokens:
+                regs = self.param("register_tokens", nn.initializers.zeros,
+                                  (1, c.num_register_tokens, c.embed_dim), jnp.float32)
+                tokens.append(jnp.tile(regs.astype(c.dtype), (B, 1, 1)))
+            tokens.append(x)
+            x = jnp.concatenate(tokens, axis=1)
+
+        collected = []
+        want = set(out_layers or [])
+        for i in range(c.depth):
+            x = Block(c, name=f"block{i}")(x)
+            if i in want:
+                collected.append(x[:, n_prefix:])
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(c.dtype)
+
+        if out_layers is not None:
+            return collected, x[:, n_prefix:], (x[:, 0] if c.use_cls_token else None)
+        return x[:, n_prefix:]
+
+
+class ViTFeatureMap(nn.Module):
+    """HaMeR-style backbone wrapper: [B,H,W,3] -> [B, gh, gw, C] feature map."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        B, H, W, _ = images.shape
+        tokens = ViT(c, name="vit")(images)
+        gh, gw = H // c.patch_size, W // c.patch_size
+        return tokens.reshape(B, gh, gw, c.embed_dim)

@@ -1,0 +1,134 @@
+"""Scheduler parity + Hunyuan stack shape/grad tests (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followmyhold_tpu.diffusion.scheduler import (
+    make_schedule,
+    scale_noise,
+    step,
+    step_final,
+)
+from followmyhold_tpu.models.hunyuan import (
+    COND_TINY,
+    DIT_TINY,
+    VAE_TINY,
+    Conditioner,
+    HunyuanDiT,
+    ShapeVAE,
+    fourier_embed,
+    vae_query_logits,
+)
+
+
+def test_schedule_reversed_sigmas():
+    # FOHO passes sigmas = linspace(0,1,N) (pipelines.py:1187)
+    sched = make_schedule(sigmas=np.linspace(0, 1, 20))
+    s = np.asarray(sched.sigmas)
+    assert s.shape == (21,)
+    np.testing.assert_allclose(s[:20], np.linspace(0, 1, 20), atol=1e-6)
+    assert s[20] == 1.0
+    np.testing.assert_allclose(np.asarray(sched.timesteps), s[:20] * 1000, rtol=1e-6)
+    # sigmas ASCEND (reversed vs. standard diffusers)
+    assert (np.diff(s[:20]) > 0).all()
+
+
+def test_schedule_shift_transform():
+    sched = make_schedule(sigmas=np.linspace(0, 1, 10), shift=3.0)
+    s_in = np.linspace(0, 1, 10)
+    expected = 3.0 * s_in / (1 + 2.0 * s_in)
+    np.testing.assert_allclose(np.asarray(sched.sigmas)[:10], expected, rtol=1e-6)
+
+
+def test_step_euler_update():
+    sched = make_schedule(sigmas=np.linspace(0, 1, 5))
+    x = jnp.ones((2, 4))
+    eps = jnp.full((2, 4), 0.5)
+    prev, pred_x1 = step(sched, 1, eps, x)
+    s = np.linspace(0, 1, 5)
+    np.testing.assert_allclose(np.asarray(prev), 1 + (s[2] - s[1]) * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred_x1), 1 + (1 - s[1]) * 0.5, rtol=1e-6)
+
+
+def test_step_final_matches_pred_x1():
+    sched = make_schedule(sigmas=np.linspace(0, 1, 5))
+    x = jnp.ones((1, 3)) * 2.0
+    eps = jnp.ones((1, 3)) * -1.0
+    _, pred = step(sched, 2, eps, x)
+    np.testing.assert_allclose(np.asarray(step_final(sched, 2, eps, x)),
+                               np.asarray(pred))
+
+
+def test_full_denoise_reaches_x1():
+    # with a perfect constant velocity field eps = x1 - x0, Euler integration
+    # of the reversed flow reaches x1 exactly
+    n = 10
+    sched = make_schedule(sigmas=np.linspace(0, 1, n))
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8)).astype(np.float32))
+    x1 = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8)).astype(np.float32))
+    eps = x1 - x0
+    x = x0
+    for i in range(n):
+        x, _ = step(sched, i, eps, x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x1), atol=1e-5)
+
+
+def test_scale_noise():
+    sched = make_schedule(sigmas=np.linspace(0, 1, 5))
+    x = jnp.ones((2, 2))
+    noise = jnp.zeros((2, 2))
+    out = scale_noise(sched, 2, x, noise)
+    np.testing.assert_allclose(np.asarray(out), 1 - np.linspace(0, 1, 5)[2])
+
+
+def test_dit_shapes_and_cfg_batching():
+    model = HunyuanDiT(DIT_TINY)
+    latents = jnp.ones((2, 16, 64))
+    t = jnp.asarray([0.3, 0.3])
+    cond = jnp.ones((2, 4, 32))
+    params = model.init(jax.random.key(0), latents, t, cond)
+    eps = model.apply(params, latents, t, cond)
+    assert eps.shape == (2, 16, 64)
+    assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_vae_query_logits_chunking():
+    model = ShapeVAE(VAE_TINY)
+    latents = jnp.ones((1, 16, 8))
+    queries = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 100, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), latents, queries[:, :4])
+    full = vae_query_logits(model, params, latents, queries, chunk=128)
+    chunked = vae_query_logits(model, params, latents, queries, chunk=32)
+    assert full.shape == (1, 100)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
+
+
+def test_vae_query_logits_differentiable_wrt_latents():
+    model = ShapeVAE(VAE_TINY)
+    latents = jnp.ones((1, 16, 8))
+    queries = jnp.zeros((1, 10, 3))
+    params = model.init(jax.random.key(0), latents, queries)
+
+    def loss(lat):
+        return vae_query_logits(model, params, lat, queries).sum()
+
+    g = jax.grad(loss)(latents)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_conditioner_uncond_shapes():
+    model = Conditioner(COND_TINY)
+    img = jnp.ones((2, 28, 28, 3)) * 0.5
+    params = model.init(jax.random.key(0), img)
+    cond = model.apply(params, img)
+    assert cond["main"].shape == (2, 4, 32)
+    uncond = model.apply(params, 2, method=Conditioner.unconditional_embedding)
+    assert uncond["main"].shape == (2, 4, 32)
+
+
+def test_fourier_embed_shape():
+    x = jnp.ones((5, 3))
+    e = fourier_embed(x, 4)
+    assert e.shape == (5, 3 * 9)
