@@ -1,0 +1,109 @@
+"""Mesh post-processors: floater removal, degenerate-face removal, face
+reduction.
+
+Replaces hy3dgen.shapegen.postprocessors {FloaterRemover,
+DegenerateFaceRemover, FaceReducer} (imported at src/foho/guidance/run.py:43-47
+and used at geometry/hunyuan.py:96-100 / guidance/run.py:161-163).
+Host-side numpy: these run once per exported mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _connected_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
+    """Union-find over face edges -> component label per vertex."""
+    parent = np.arange(num_verts)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for f in faces:
+        r0 = find(f[0])
+        for v in f[1:]:
+            r = find(v)
+            if r != r0:
+                parent[r] = r0
+    return np.array([find(i) for i in range(num_verts)])
+
+
+def remove_floaters(verts: np.ndarray, faces: np.ndarray,
+                    keep_ratio: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Keep only the largest connected component (FloaterRemover semantics)."""
+    if len(faces) == 0:
+        return verts, faces
+    labels = _connected_components(len(verts), faces)
+    counts = np.bincount(labels, minlength=len(verts))
+    main = np.argmax(counts)
+    keep_vert = labels == main
+    return _compact(verts, faces, keep_vert)
+
+
+def remove_degenerate_faces(verts: np.ndarray, faces: np.ndarray,
+                            eps: float = 1e-12) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop zero-area and repeated-index faces (DegenerateFaceRemover)."""
+    if len(faces) == 0:
+        return verts, faces
+    tri = verts[faces]
+    area2 = np.sum(np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]) ** 2, -1)
+    distinct = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    keep = (area2 > eps) & distinct
+    faces = faces[keep]
+    used = np.zeros(len(verts), bool)
+    used[faces.reshape(-1)] = True
+    return _compact(verts, faces, used)
+
+
+def reduce_faces(verts: np.ndarray, faces: np.ndarray,
+                 max_faces: int = 40000) -> Tuple[np.ndarray, np.ndarray]:
+    """Decimate by vertex-grid clustering until under max_faces (FaceReducer
+    capability; grid clustering instead of quadric collapse — simpler, and the
+    consumer is ICP/export where exact topology is irrelevant)."""
+    if len(faces) <= max_faces:
+        return verts, faces
+    lo = verts.min(0)
+    hi = verts.max(0)
+    res = 256
+    while True:
+        cell = (hi - lo).max() / res
+        key = np.floor((verts - lo) / max(cell, 1e-12)).astype(np.int64)
+        key = key[:, 0] * (res + 1) ** 2 + key[:, 1] * (res + 1) + key[:, 2]
+        uniq, inv = np.unique(key, return_inverse=True)
+        new_verts = np.zeros((len(uniq), 3), np.float64)
+        np.add.at(new_verts, inv, verts)
+        counts = np.bincount(inv)
+        new_verts /= counts[:, None]
+        new_faces = inv[faces]
+        distinct = (
+            (new_faces[:, 0] != new_faces[:, 1])
+            & (new_faces[:, 1] != new_faces[:, 2])
+            & (new_faces[:, 0] != new_faces[:, 2])
+        )
+        new_faces = new_faces[distinct]
+        # dedup faces
+        canon = np.sort(new_faces, axis=1)
+        _, first = np.unique(canon, axis=0, return_index=True)
+        new_faces = new_faces[np.sort(first)]
+        if len(new_faces) <= max_faces or res <= 16:
+            return new_verts.astype(np.float32), new_faces.astype(np.int32)
+        res //= 2
+
+
+def _compact(verts: np.ndarray, faces: np.ndarray,
+             keep_vert: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    remap = np.full(len(verts), -1, np.int64)
+    remap[keep_vert] = np.arange(int(keep_vert.sum()))
+    face_ok = keep_vert[faces].all(axis=1)
+    return verts[keep_vert], remap[faces[face_ok]].astype(np.int32)

@@ -1,0 +1,267 @@
+"""Guidance stage driver: per image, run the guided sampler and export
+{id}_obj.ply / {id}_hand.ply.
+
+Public surface mirrors src/foho/guidance/run.py:65-294: same artifact inputs
+(inpainted object crop, masks, MoGe mesh + fov.json, HaMeR keypoints, aligned
+MANO mesh, h2m transform), same outputs, same skip/resume and SLURM-style
+task-list sharding (run.py:178-185) — plus MESH-based data parallelism via
+--shard_index/--shard_count for the TPU fleet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from followmyhold_tpu.configs.guidance import OptimizationConfig
+from followmyhold_tpu.configs.profiles import guidance_mesh_caps, optimization_config
+from followmyhold_tpu.diffusion.guidance import GuidanceTargets, GuidedSampler
+from followmyhold_tpu.geometry.hunyuan import build_models, encode_condition
+from followmyhold_tpu.geometry.postprocess import (
+    reduce_faces,
+    remove_degenerate_faces,
+    remove_floaters,
+)
+from followmyhold_tpu.models.mano import load_mano
+from followmyhold_tpu.ops.camera import GuidanceCamera
+from followmyhold_tpu.ops.rasterizer import render_normal_and_disparity
+from followmyhold_tpu.ops.surface import PaddedMesh, vertex_normals
+from followmyhold_tpu.utils.debug import DebugDir
+from followmyhold_tpu.utils.mesh_io import load_mesh, pad_mesh, write_ply
+from followmyhold_tpu.utils.prng import SEED_GUIDANCE, stage_key
+
+
+def _load_mask(path: str) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("L")) > 0
+
+
+def build_targets(
+    camera: GuidanceCamera,
+    mano_mesh_path: str,
+    t_h2m_path: str,
+    moge_mesh_path: str,
+    hand_mask: np.ndarray,
+    obj_mask: np.ndarray,
+    hamer_kps_path: str,
+    j_regressor: np.ndarray,
+    moge_mesh_max_verts: int = 196608,
+    moge_mesh_max_faces: int = 393216,
+) -> GuidanceTargets:
+    """Precompute all per-image guidance inputs (pipelines.py:1218-1256):
+    transform aligned MANO into moge space, render the MoGe mesh into the
+    masked normal/disparity targets."""
+    t_h2m = np.load(t_h2m_path).astype(np.float32)
+
+    mano_mesh = load_mesh(mano_mesh_path)
+    mano_verts_moge = mano_mesh.vertices @ t_h2m[:3, :3].T + t_h2m[:3, 3]
+
+    moge_mesh = load_mesh(moge_mesh_path)
+    mv, mf, nv, nf = pad_mesh(moge_mesh, moge_mesh_max_verts, moge_mesh_max_faces)
+    pm = PaddedMesh(
+        verts=jnp.asarray(mv), faces=jnp.asarray(mf),
+        vert_mask=jnp.asarray((np.arange(moge_mesh_max_verts) < nv).astype(np.float32)),
+        face_mask=jnp.asarray((np.arange(moge_mesh_max_faces) < nf).astype(np.float32)),
+    )
+    vn = vertex_normals(pm)
+    moge_normal, moge_disp, _ = render_normal_and_disparity(
+        camera, pm.verts, pm.faces, vn, pm.face_mask)
+
+    hoi_mask = jnp.asarray(hand_mask | obj_mask)
+    moge_normal = moge_normal * hoi_mask[..., None]  # pipelines.py:1253
+    moge_disp = moge_disp * hoi_mask                 # pipelines.py:1254
+
+    kps = np.load(hamer_kps_path, allow_pickle=True).item()
+    hamer_2d = np.asarray(kps["mano_2d_kps"], np.float32).reshape(-1, 2)
+
+    return GuidanceTargets(
+        mano_verts_moge=jnp.asarray(mano_verts_moge.astype(np.float32)),
+        mano_faces=jnp.asarray(mano_mesh.faces),
+        j_regressor=jnp.asarray(j_regressor),
+        hamer_2d_kps=jnp.asarray(hamer_2d),
+        moge_normal=moge_normal,
+        moge_disp=moge_disp,
+        hand_mask=jnp.asarray(hand_mask),
+        obj_mask=jnp.asarray(obj_mask),
+        t_h2m=jnp.asarray(t_h2m),
+    )
+
+
+def run_hunyuan_w_guid(
+    cropped_obj_img_path: str,
+    fovx: float,
+    hamer_for_guid_path: str,
+    aligned_mano_mesh_path: str,
+    cropped_obj_mask_path: str,
+    cropped_hand_mask_path: str,
+    moge_mesh_path: str,
+    T_h2m_path: str,
+    hunyuan_hoi_mesh_path: str,
+    save_path_obj: str,
+    save_path_hand: str,
+    config: OptimizationConfig,
+    models=None,
+    j_regressor: Optional[np.ndarray] = None,
+):
+    hand_mask = _load_mask(cropped_hand_mask_path)
+    obj_mask = _load_mask(cropped_obj_mask_path)
+    H, W = hand_mask.shape
+
+    camera = GuidanceCamera(height=H, width=W, fov_deg=float(fovx))
+
+    if models is None:
+        models = build_models()
+    (dit, dit_params), (vae, vae_params), (cond, cond_params) = models
+
+    if j_regressor is None:
+        j_regressor = np.asarray(load_mano().j_regressor)
+
+    image_id = os.path.basename(cropped_obj_img_path).split("_")[0]
+    debug = DebugDir(f"exp_obj{image_id}_inpainted")
+    debug.dump_params(dict(config.as_dict()))
+
+    targets = build_targets(
+        camera, aligned_mano_mesh_path, T_h2m_path, moge_mesh_path,
+        hand_mask, obj_mask, hamer_for_guid_path, j_regressor)
+
+    rgba = np.asarray(Image.open(cropped_obj_img_path).convert("RGBA"))
+    cond_main, uncond_main = encode_condition(cond, cond_params, rgba)
+
+    sampler = GuidedSampler(dit=dit, vae=vae, camera=camera, config=config,
+                            **guidance_mesh_caps())
+    key = stage_key(SEED_GUIDANCE, "guidance", image_id)
+    result = sampler.run(dit_params, vae_params, cond_main, uncond_main,
+                         targets, key, (vae.cfg.num_latents, vae.cfg.embed_dim))
+
+    obj_mesh, hand_verts = sampler.export_meshes(
+        vae_params, result, targets,
+        octree_resolution=min(config.final_octree_resolution, 256))
+
+    nv, nf = int(obj_mesh.num_verts), int(obj_mesh.num_faces)
+    if nv == 0:
+        print(f"Empty mesh for {cropped_obj_img_path}")
+        return None, None
+    verts = np.asarray(obj_mesh.verts)[:nv]
+    faces = np.asarray(obj_mesh.faces)[:nf]
+    verts, faces = remove_floaters(verts, faces)
+    verts, faces = remove_degenerate_faces(verts, faces)
+    verts, faces = reduce_faces(verts, faces)
+    write_ply(save_path_obj, verts, faces)
+    write_ply(save_path_hand, np.asarray(hand_verts),
+              np.asarray(targets.mano_faces))
+    debug.close()
+    return (verts, faces), np.asarray(hand_verts)
+
+
+def _load_task_list(task_list_file: Optional[str], cropped_obj_img_dir: str) -> List[str]:
+    """SLURM-array compatibility (reference run.py:178-185)."""
+    if task_list_file and os.path.exists(task_list_file):
+        with open(task_list_file, "r", encoding="utf-8") as f:
+            chunks = json.load(f)
+        array_task_id = int(os.environ.get("SLURM_ARRAY_TASK_ID", 0))
+        return chunks[array_task_id]
+    return sorted(os.listdir(cropped_obj_img_dir))
+
+
+def run(
+    project_root: str,
+    cropped_obj_img_dir: str,
+    mask_dir: str,
+    moge_out_dir: str,
+    hunyuan_hoi_mesh_dir: str,
+    hamer_out_dir: str,
+    h2m_rt_dir: str,
+    aligned_mano_dir: str,
+    guidance_out_dir: str,
+    task_list_file: Optional[str] = None,
+    shard_index: int = 0,
+    shard_count: int = 1,
+) -> None:
+    config = optimization_config()
+    os.makedirs(guidance_out_dir, exist_ok=True)
+
+    assigned = _load_task_list(task_list_file, cropped_obj_img_dir)
+    assigned = assigned[shard_index::shard_count]
+
+    models = build_models()
+    j_reg_path = os.path.join(hamer_out_dir, "J_regressor_hamer.npy")
+    j_regressor = np.load(j_reg_path) if os.path.exists(j_reg_path) else None
+
+    for name in assigned:
+        try:
+            path = os.path.join(cropped_obj_img_dir, name)
+            image_id = name.split("_")[0]
+            hand_mask_path = os.path.join(mask_dir, f"{image_id}_cropped_hand_mask.png")
+            obj_mask_path = os.path.join(mask_dir, f"{image_id}_cropped_obj_mask.png")
+            moge_mesh_path = os.path.join(moge_out_dir, f"{image_id}_cropped_hoi/mesh.ply")
+            moge_fov_path = os.path.join(moge_out_dir, f"{image_id}_cropped_hoi/fov.json")
+            t_h2m_path = os.path.join(h2m_rt_dir, f"{image_id}_hoi_mesh.npy")
+            aligned_mano = os.path.join(aligned_mano_dir, f"{image_id}_hamer_aligned_mano.ply")
+            hunyuan_mesh = os.path.join(hunyuan_hoi_mesh_dir, f"{image_id}_hoi_mesh.ply")
+            hamer_kps = os.path.join(hamer_out_dir, f"{image_id}_kps_for_guidance.npy")
+            save_obj = os.path.join(guidance_out_dir, f"{image_id}_obj.ply")
+            save_hand = os.path.join(guidance_out_dir, f"{image_id}_hand.ply")
+
+            if os.path.exists(save_obj) and os.path.exists(save_hand):
+                print(f"{image_id} already exists, skipping")
+                continue
+
+            with open(moge_fov_path, "r", encoding="utf-8") as f:
+                fovx = float(json.load(f)["fov_x"])
+
+            if not (_load_mask(hand_mask_path).any() and _load_mask(obj_mask_path).any()):
+                print(f"Skipping {image_id} due to empty mask")
+                continue
+
+            print(f"Processing {image_id}")
+            obj, hand = run_hunyuan_w_guid(
+                cropped_obj_img_path=path, fovx=fovx,
+                hamer_for_guid_path=hamer_kps,
+                aligned_mano_mesh_path=aligned_mano,
+                cropped_obj_mask_path=obj_mask_path,
+                cropped_hand_mask_path=hand_mask_path,
+                moge_mesh_path=moge_mesh_path,
+                T_h2m_path=t_h2m_path,
+                hunyuan_hoi_mesh_path=hunyuan_mesh,
+                save_path_obj=save_obj, save_path_hand=save_hand,
+                config=config, models=models, j_regressor=j_regressor)
+            if obj is None:
+                print(f"Error in reconstruction for {image_id}")
+                continue
+            print(f"Reconstructed object {image_id}")
+        except Exception as e:  # per-image skip-and-continue (run.py:257-259)
+            print(f"Error in processing {name} : {e}")
+            continue
+
+    print("Finished processing all images")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Guided shape reconstruction")
+    parser.add_argument("--project_root", required=True)
+    parser.add_argument("--cropped_obj_img_dir", required=True)
+    parser.add_argument("--mask_dir", required=True)
+    parser.add_argument("--moge_out_dir", required=True)
+    parser.add_argument("--hunyuan_hoi_mesh_dir", required=True)
+    parser.add_argument("--hamer_out_dir", required=True)
+    parser.add_argument("--h2m_rt_dir", required=True)
+    parser.add_argument("--aligned_mano_dir", required=True)
+    parser.add_argument("--guidance_out_dir", required=True)
+    parser.add_argument("--task_list_file", default=None)
+    parser.add_argument("--shard_index", type=int, default=0)
+    parser.add_argument("--shard_count", type=int, default=1)
+    args = parser.parse_args()
+    run(args.project_root, args.cropped_obj_img_dir, args.mask_dir,
+        args.moge_out_dir, args.hunyuan_hoi_mesh_dir, args.hamer_out_dir,
+        args.h2m_rt_dir, args.aligned_mano_dir, args.guidance_out_dir,
+        args.task_list_file, args.shard_index, args.shard_count)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Hand stage: HaMeR regression over cropped HOI images.
+
+Public surface mirrors the reference (src/foho/hand/hamer.py:34-300): per
+image write {id}.npy (full outputs), {id}_kps_for_guidance.npy
+(mano_3d_kps / mano_2d_kps / cam_t), {id}_hamer.obj, and the shared
+J_regressor dump the guidance stage loads (hamer.py:103-104).
+
+Detection front-end: the reference chains ViTDet person boxes -> ViTPose
+wholebody keypoints -> hand boxes (hand/hamer.py:117-176). Since this stage
+consumes the pipeline's own 512^2 HOI crops whose hand mask the preprocess
+stage already produced, the TPU build derives the hand box from
+{id}_cropped_hand_mask.png directly (whole image as fallback) — one jitted
+batch instead of three detector stacks. Handedness comes from the crop
+filename ({id}_cropped_hoi_{is_right}.png).
+
+Crop semantics match ViTDetDataset (vitdet_dataset.py:23-95): square box
+rescaled 2.5x, 256x256 patch, ImageNet normalization, horizontal flip for
+left hands; outputs un-flip x (hand/hamer.py:256-266).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from followmyhold_tpu.models.hamer import Hamer, HamerConfig, hamer_forward
+from followmyhold_tpu.models.mano import load_mano
+from followmyhold_tpu.ops.camera import cam_crop_to_full, perspective_projection
+from followmyhold_tpu.ops.image import generate_patch_image
+from followmyhold_tpu.utils.artifacts import parse_cropped_hoi_name
+from followmyhold_tpu.utils.mesh_io import write_obj
+from followmyhold_tpu.utils.params import load_or_init
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _hand_bbox_from_mask(mask_path: Optional[str], img_hw) -> np.ndarray:
+    """xyxy hand box from the preprocess hand mask; whole image fallback."""
+    H, W = img_hw
+    if mask_path and os.path.exists(mask_path):
+        m = np.asarray(Image.open(mask_path).convert("L")) > 0
+        ys, xs = np.nonzero(m)
+        if len(xs) > 0:
+            return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+    return np.array([0, 0, W - 1, H - 1], np.float32)
+
+
+def _default_config() -> HamerConfig:
+    if os.environ.get("FOHO_TPU_PROFILE", "full") == "tiny":
+        from followmyhold_tpu.models.vit import ViTConfig
+
+        return HamerConfig(
+            backbone=ViTConfig(img_size=(64, 48), patch_size=16, embed_dim=32,
+                               depth=1, num_heads=2, dtype=jnp.float32),
+            head_dim=32, head_depth=1, head_heads=2, head_dim_head=8,
+            head_mlp_dim=32, context_dim=32, image_size=64, dtype=jnp.float32)
+    return HamerConfig()
+
+
+def _build_model(cfg: HamerConfig):
+    model = Hamer(cfg)
+
+    def init_fn(key):
+        import jax
+
+        dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        return model.init(key, dummy)
+
+    params = load_or_init("hamer", init_fn)
+    return model, params
+
+
+def run(
+    img_folder: str,
+    out_folder: str,
+    full_img_dir: Optional[str] = None,
+    mask_dir: Optional[str] = None,
+    save_mesh: bool = True,
+    rescale_factor: float = 2.5,
+    hamer_demo_dir: Optional[str] = None,  # accepted for CLI parity, unused
+) -> None:
+    os.makedirs(out_folder, exist_ok=True)
+    cfg = _default_config()
+    model, params = _build_model(cfg)
+    mano = load_mano()
+
+    # the 16x778 J_regressor the guidance stage consumes (reference dumps
+    # J_regressor_hamer.pt once, hamer.py:103-104)
+    np.save(os.path.join(out_folder, "J_regressor_hamer.npy"),
+            np.asarray(mano.j_regressor))
+
+    images = sorted(
+        glob.glob(os.path.join(img_folder, "*.png"))
+        + glob.glob(os.path.join(img_folder, "*.jpg"))
+    )
+    if not images:
+        print(f"No images found in {img_folder}")
+        return
+
+    for img_path in images:
+        image_id, is_right = parse_cropped_hoi_name(img_path)
+        out_npy = os.path.join(out_folder, f"{image_id}.npy")
+        kps_npy = os.path.join(out_folder, f"{image_id}_kps_for_guidance.npy")
+        if os.path.exists(out_npy) and os.path.exists(kps_npy):
+            print(f"{image_id} exists, skipping")
+            continue
+
+        img = np.asarray(Image.open(img_path).convert("RGB"), np.float32) / 255.0
+        H, W = img.shape[:2]
+
+        mask_path = None
+        if mask_dir:
+            mask_path = os.path.join(mask_dir, f"{image_id}_cropped_hand_mask.png")
+        box = _hand_bbox_from_mask(mask_path, (H, W))
+
+        # ViTDetDataset box math (vitdet_dataset.py:38-47)
+        center = (box[:2] + box[2:]) / 2.0
+        scale = rescale_factor * (box[2:] - box[:2]) / 200.0
+        box_size = float(np.max(scale) * 200.0)
+        bbox_xywh = [center[0] - box_size / 2, center[1] - box_size / 2,
+                     box_size, box_size]
+
+        patch, _ = generate_patch_image(
+            jnp.asarray(img), bbox_xywh, (cfg.image_size, cfg.image_size),
+            do_flip=not is_right)
+        patch = (np.asarray(patch) - IMAGENET_MEAN) / IMAGENET_STD
+
+        out = hamer_forward(model, params, mano, jnp.asarray(patch)[None])
+
+        mult = 1.0 if is_right else -1.0
+        pred_cam = np.array(out.pred_cam)  # writable copy
+        pred_cam[:, 1] *= mult  # un-flip tx (hand/hamer.py:196-197)
+
+        img_size = np.array([[W, H]], np.float32)
+        scaled_focal = cfg.focal_length / cfg.image_size * float(img_size.max())
+        cam_t_full = np.asarray(cam_crop_to_full(
+            jnp.asarray(pred_cam), jnp.asarray(center[None]),
+            jnp.asarray([box_size]), jnp.asarray(img_size), scaled_focal))
+
+        verts = np.array(out.vertices[0])
+        kps3d = np.array(out.keypoints_3d[0])
+        verts[:, 0] *= mult
+        kps3d[:, 0] *= mult
+
+        kps2d_full = np.asarray(perspective_projection(
+            jnp.asarray(kps3d[None]), jnp.asarray(cam_t_full),
+            jnp.asarray([[scaled_focal, scaled_focal]]),
+            jnp.asarray([[W / 2.0, H / 2.0]]),
+        ))[0]
+
+        np.save(out_npy, {
+            "pred_cam": pred_cam,
+            "pred_cam_t": np.asarray(out.pred_cam_t),
+            "pred_cam_t_full": cam_t_full,
+            "pred_vertices": verts[None],
+            "pred_keypoints_3d": kps3d[None],
+            "pred_keypoints_2d": np.asarray(out.keypoints_2d),
+            "betas": np.asarray(out.betas),
+            "global_orient": np.asarray(out.global_orient),
+            "hand_pose": np.asarray(out.hand_pose),
+            "box_center": center[None],
+            "box_size": np.asarray([box_size]),
+            "right": np.asarray([float(is_right)]),
+        })
+        np.save(kps_npy, {
+            "mano_3d_kps": kps3d[None],
+            "mano_2d_kps": kps2d_full,
+            "cam_t": cam_t_full,
+        })
+
+        if save_mesh:
+            # camera-frame mesh for downstream ICP (reference exports the
+            # cam_t-translated mesh, hand/hamer.py:281-284)
+            write_obj(os.path.join(out_folder, f"{image_id}_hamer.obj"),
+                      verts + cam_t_full[0], np.asarray(mano.faces))
+        print(f"Processed {image_id}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--img_folder", required=True)
+    parser.add_argument("--out_folder", required=True)
+    parser.add_argument("--full_img_dir", default=None)
+    parser.add_argument("--mask_dir", default=None)
+    parser.add_argument("--hamer_demo_dir", default=None)
+    parser.add_argument("--save_mesh", action="store_true", default=True)
+    args = parser.parse_args()
+    run(args.img_folder, args.out_folder, args.full_img_dir, args.mask_dir,
+        args.save_mesh, hamer_demo_dir=args.hamer_demo_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -132,11 +132,22 @@ class ManoHead(nn.Module):
         c = self.cfg
         B = tokens.shape[0]
 
-        init_pose = self.param("init_hand_pose", nn.initializers.zeros,
+        # The reference loads these from mano_mean_params.npz
+        # (mano_head.py:49-55); defaults here are the mean-pose analogues —
+        # identity 6d rotations for all 16 joints and a ~unit weak-persp
+        # scale — and converted checkpoints overwrite them.
+        def _mean_pose_init(key, shape, dtype=jnp.float32):
+            ident6d = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0], dtype), (16,))
+            return jnp.broadcast_to(ident6d, shape).astype(dtype)
+
+        def _mean_cam_init(key, shape, dtype=jnp.float32):
+            return jnp.broadcast_to(jnp.asarray([0.9, 0.0, 0.0], dtype), shape)
+
+        init_pose = self.param("init_hand_pose", _mean_pose_init,
                                (1, c.npose), jnp.float32)
         init_betas = self.param("init_betas", nn.initializers.zeros,
                                 (1, 10), jnp.float32)
-        init_cam = self.param("init_cam", nn.initializers.zeros,
+        init_cam = self.param("init_cam", _mean_cam_init,
                               (1, 3), jnp.float32)
 
         pred_pose = jnp.tile(init_pose, (B, 1))

@@ -174,12 +174,15 @@ class MoGe(nn.Module):
             normal = ConvStack(c.head_dims, 3, c.num_res_blocks, c.dtype,
                                name="normal_head")(neck_feats)[-1]
 
-        # metric scale from cls token (MLP ... -> exp)
+        # metric scale from cls token (MLP ... -> exp). The output layer
+        # zero-inits so a fresh model predicts scale exp(0)=1 instead of a
+        # random exponential blow-up; converted checkpoints overwrite it.
         h = cls_token.astype(jnp.float32)
         for i, d in enumerate(c.scale_head_dims[:-1]):
             h = nn.relu(nn.Dense(d, dtype=jnp.float32, name=f"scale{i}")(h))
         metric_scale = jnp.exp(
-            nn.Dense(c.scale_head_dims[-1], dtype=jnp.float32, name="scale_out")(h)
+            nn.Dense(c.scale_head_dims[-1], dtype=jnp.float32,
+                     kernel_init=nn.initializers.zeros, name="scale_out")(h)
         )[:, 0]
 
         def up(x):

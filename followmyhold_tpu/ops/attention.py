@@ -47,20 +47,23 @@ def attention_xla(
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
-                  scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_pad: int,
+                  block_k: int, scale: float):
     q = q_ref[0].astype(jnp.float32) * scale          # [block_q, D]
     m = jnp.full((q.shape[0], 1), -1e30, jnp.float32)
     l = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc = jnp.zeros((q.shape[0], q_ref.shape[-1]), jnp.float32)
 
-    num_kv = kv_len // block_k
+    num_kv = kv_pad // block_k
 
     def body(i, carry):
         m, l, acc = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        # mask padded keys in the ragged tail block
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -72,9 +75,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_attention_pallas(q, k, v, scale, block_q=256, block_k=256):
+def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
     B, H, N, D = q.shape
-    _, _, M, _ = k.shape
+    _, _, M, _ = k.shape  # M = padded kv length (multiple of block_k)
     block_q = min(block_q, N)
     block_k = min(block_k, M)
 
@@ -84,7 +87,8 @@ def _flash_attention_pallas(q, k, v, scale, block_q=256, block_k=256):
     vr = v.reshape(B * H, M, D)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=M, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, kv_len=kv_len, kv_pad=M,
+                          block_k=block_k, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
@@ -112,7 +116,9 @@ def _pad_to(x, n, axis):
 
 def _on_tpu() -> bool:
     try:
-        return jax.devices()[0].platform == "tpu"
+        d = jax.devices()[0]
+        # the sandbox TPU tunnel reports platform "axon" with TPU device kind
+        return d.platform == "tpu" or "tpu" in d.device_kind.lower()
     except Exception:  # pragma: no cover
         return False
 
@@ -143,19 +149,13 @@ def multi_head_attention(
     if not use_pallas:
         return attention_xla(q, k, v, mask=mask, scale=scale)
 
-    # pad sequence dims to block multiples; padded K rows get masked out by
-    # padding V with zeros AND relying on exp(s - m) weights: padded keys are
-    # zeros -> logits 0 which can exceed real logits. So instead pad K with a
-    # large negative effect by padding after projection is unsafe; pad to
-    # multiples and mask via length-aware fallback when ragged.
+    # pad both sequence dims to block multiples; ragged KV tails are masked
+    # inside the kernel (padded Q rows produce garbage that we slice off)
     bq, bk = 256, 256
     Np = ((N + bq - 1) // bq) * bq
     Mp = ((M + bk - 1) // bk) * bk
-    if Np != N or Mp != M:
-        if Mp != M:
-            # ragged KV: use fallback (correctness first; hot shapes are
-            # already padded to multiples by the model wrappers)
-            return attention_xla(q, k, v, mask=mask, scale=scale)
-        q = _pad_to(q, Np, 2)
-    out = _flash_attention_pallas(q, k, v, scale, bq, bk)
+    q = _pad_to(q, Np, 2)
+    k = _pad_to(k, Mp, 2)
+    v = _pad_to(v, Mp, 2)
+    out = _flash_attention_pallas(q, k, v, M, scale, bq, bk)
     return out[:, :, :N]
