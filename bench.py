@@ -77,14 +77,16 @@ def main() -> None:
                             max_verts=24576, max_faces=49152, vae_chunk=8192,
                             raster_faces_per_tile=4096)
 
+    from followmyhold_tpu.utils.params import fast_init
+
     key = jax.random.key(0)
     latents = jax.random.normal(key, (1, num_latents, vae_cfg.embed_dim))
     cond_cat = jax.random.normal(jax.random.key(1), (2, cond_tokens, cond_dim),
                                  jnp.bfloat16)
-    print("# init dit params...", file=sys.stderr)
-    dit_params = dit.init(jax.random.key(2), latents, jnp.zeros(1), cond_cat[:1])
-    print("# init vae params...", file=sys.stderr)
-    vae_params = vae.init(jax.random.key(3), latents, jnp.zeros((1, 8, 3)))
+    print("# init dit params (eval_shape)...", file=sys.stderr)
+    dit_params = fast_init(dit.init, latents, jnp.zeros(1), cond_cat[:1])
+    print("# init vae params (eval_shape)...", file=sys.stderr)
+    vae_params = fast_init(vae.init, latents, jnp.zeros((1, 8, 3)))
 
     sched = make_schedule(sigmas=np.linspace(0, 1, cfg.num_inference_steps))
 

@@ -1,0 +1,115 @@
+"""HaMeR torch checkpoint -> Flax params.
+
+Maps the reference checkpoint layout (hamer/models/hamer.py state dict:
+backbone.* = ViTPose ViT-H, mano_head.* = MANOTransformerDecoderHead) onto
+models/hamer.Hamer. Run:
+
+    python -m followmyhold_tpu.convert.hamer --ckpt /path/hamer.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followmyhold_tpu.convert.common import ConversionReport, dense_kernel, put, to_mutable
+from followmyhold_tpu.convert.vit_torch import convert_vit
+from followmyhold_tpu.models.hamer import Hamer, HamerConfig
+from followmyhold_tpu.utils.params import save_params
+
+
+def convert_hamer(torch_sd: Dict[str, np.ndarray],
+                  cfg: HamerConfig | None = None):
+    cfg = cfg or HamerConfig()
+    model = Hamer(cfg)
+    params = to_mutable(model.init(
+        jax.random.key(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))))
+    report = ConversionReport()
+
+    # backbone (torch keys "backbone.*")
+    convert_vit(torch_sd, params, prefix="backbone.",
+                flax_prefix="params/backbone/vit",
+                depth=cfg.backbone.depth, report=report)
+
+    sd = {k: np.asarray(v) for k, v in torch_sd.items()
+          if k.startswith("mano_head.")}
+
+    def grab(key):
+        full = "mano_head." + key
+        if full in sd:
+            return sd.pop(full)
+        report.missing_src.append(full)
+        return None
+
+    head = "params/mano_head"
+    for src, dst, tf in (
+        ("decpose.weight", f"{head}/decpose/kernel", dense_kernel),
+        ("decpose.bias", f"{head}/decpose/bias", None),
+        ("decshape.weight", f"{head}/decshape/kernel", dense_kernel),
+        ("decshape.bias", f"{head}/decshape/bias", None),
+        ("deccam.weight", f"{head}/deccam/kernel", dense_kernel),
+        ("deccam.bias", f"{head}/deccam/bias", None),
+        ("init_hand_pose", f"{head}/init_hand_pose", None),
+        ("init_betas", f"{head}/init_betas", None),
+        ("init_cam", f"{head}/init_cam", None),
+    ):
+        v = grab(src)
+        if v is not None:
+            put(params, dst, tf(v) if tf else v, report)
+
+    # transformer decoder layers: torch pose_transformer layout is
+    # transformer.layers.{i}.{0,1,2}.{norm,fn}.* (self-attn, cross-attn, ff)
+    for i in range(cfg.head_depth):
+        t = f"mano_head.transformer.layers.{i}."
+        f = f"{head}/layer{i}"
+        pairs = [
+            (t + "0.norm.weight", f + "/norm_sa/scale", None),
+            (t + "0.norm.bias", f + "/norm_sa/bias", None),
+            (t + "0.fn.to_qkv.weight", f + "/sa/to_qkv/kernel", dense_kernel),
+            (t + "0.fn.to_out.0.weight", f + "/sa/to_out/kernel", dense_kernel),
+            (t + "0.fn.to_out.0.bias", f + "/sa/to_out/bias", None),
+            (t + "1.norm.weight", f + "/norm_ca/scale", None),
+            (t + "1.norm.bias", f + "/norm_ca/bias", None),
+            (t + "1.fn.to_q.weight", f + "/ca/to_q/kernel", dense_kernel),
+            (t + "1.fn.to_kv.weight", f + "/ca/to_kv/kernel", dense_kernel),
+            (t + "1.fn.to_out.0.weight", f + "/ca/to_out/kernel", dense_kernel),
+            (t + "1.fn.to_out.0.bias", f + "/ca/to_out/bias", None),
+            (t + "2.norm.weight", f + "/norm_ff/scale", None),
+            (t + "2.norm.bias", f + "/norm_ff/bias", None),
+            (t + "2.fn.net.0.weight", f + "/ff1/kernel", dense_kernel),
+            (t + "2.fn.net.0.bias", f + "/ff1/bias", None),
+            (t + "2.fn.net.3.weight", f + "/ff2/kernel", dense_kernel),
+            (t + "2.fn.net.3.bias", f + "/ff2/bias", None),
+        ]
+        for src, dst, tf in pairs:
+            if src in sd:
+                put(params, dst, tf(sd.pop(src)) if tf else sd.pop(src), report)
+            else:
+                report.missing_src.append(src)
+
+    report.unused_src.extend(k for k in sd)
+    return params, report
+
+
+def main() -> None:
+    import torch
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True)
+    args = parser.parse_args()
+
+    ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    params, report = convert_hamer(sd)
+    print(report.summary())
+    path = save_params("hamer", params)
+    print(f"saved -> {path}")
+
+
+if __name__ == "__main__":
+    main()

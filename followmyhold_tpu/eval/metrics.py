@@ -1,0 +1,94 @@
+"""Evaluation metrics.
+
+- Depth/point metrics matching MoGe's eval kit (reference
+  third_party/MoGe/moge/test/metrics.py:26-60: rel = mean(|d-gt|/gt),
+  delta1 = mean(max(d/gt, gt/d) < 1.25), with optional least-squares scale
+  alignment like moge/utils/alignment.py:149 align_depth_scale).
+- Chamfer distance + F-score over meshes/point sets — the headline parity
+  metric for exported reconstructions (BASELINE.md: chamfer-distance parity
+  with the CUDA reference on DexYCB).
+
+All on-device (jit) with host-convenience wrappers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followmyhold_tpu.ops.knn import nn_sqdist
+
+
+def align_depth_scale(pred: jnp.ndarray, gt: jnp.ndarray,
+                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Least-squares scale s* = argmin ||s*pred - gt||^2 over valid pixels
+    (moge/utils/alignment.py:149 semantics, closed form)."""
+    w = jnp.ones_like(pred) if mask is None else mask.astype(pred.dtype)
+    num = jnp.sum(w * pred * gt)
+    den = jnp.maximum(jnp.sum(w * pred * pred), 1e-12)
+    return num / den
+
+
+def rel_depth(pred: jnp.ndarray, gt: jnp.ndarray,
+              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    w = jnp.ones_like(pred, bool) if mask is None else mask.astype(bool)
+    rel = jnp.abs(pred - gt) / jnp.maximum(gt, 1e-12)
+    return jnp.sum(jnp.where(w, rel, 0)) / jnp.maximum(w.sum(), 1)
+
+
+def delta1_depth(pred: jnp.ndarray, gt: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 threshold: float = 1.25) -> jnp.ndarray:
+    w = jnp.ones_like(pred, bool) if mask is None else mask.astype(bool)
+    ratio = jnp.maximum(pred / jnp.maximum(gt, 1e-12),
+                        gt / jnp.maximum(pred, 1e-12))
+    ok = (ratio < threshold) & w
+    return ok.sum() / jnp.maximum(w.sum(), 1)
+
+
+def scale_aligned_depth_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
+                                mask: Optional[jnp.ndarray] = None):
+    """-> (rel, delta1) after least-squares scale alignment."""
+    s = align_depth_scale(pred, gt, mask)
+    return rel_depth(s * pred, gt, mask), delta1_depth(s * pred, gt, mask)
+
+
+def chamfer_distance(a: jnp.ndarray, b: jnp.ndarray,
+                     a_mask: Optional[jnp.ndarray] = None,
+                     b_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Symmetric chamfer over point sets [N,3]/[M,3] (mean of both NN means,
+    EUCLIDEAN distances)."""
+    d_ab, _ = nn_sqdist(a, b, b_mask)
+    d_ba, _ = nn_sqdist(b, a, a_mask)
+
+    def masked_mean(d, m):
+        if m is None:
+            return jnp.sqrt(jnp.maximum(d, 0)).mean()
+        w = m.astype(jnp.float32)
+        return jnp.sum(jnp.sqrt(jnp.maximum(d, 0)) * w) / jnp.maximum(w.sum(), 1)
+
+    return (masked_mean(d_ab, a_mask) + masked_mean(d_ba, b_mask)) / 2.0
+
+
+def f_score(pred: jnp.ndarray, gt: jnp.ndarray,
+            threshold: float = 0.01) -> jnp.ndarray:
+    """F-score at a distance threshold (standard 3D reconstruction metric)."""
+    d_pg, _ = nn_sqdist(pred, gt)
+    d_gp, _ = nn_sqdist(gt, pred)
+    precision = (jnp.sqrt(d_pg) < threshold).mean()
+    recall = (jnp.sqrt(d_gp) < threshold).mean()
+    return 2 * precision * recall / jnp.maximum(precision + recall, 1e-12)
+
+
+def chamfer_between_meshes(verts_a: np.ndarray, faces_a: np.ndarray,
+                           verts_b: np.ndarray, faces_b: np.ndarray,
+                           samples: int = 10000, seed: int = 0) -> float:
+    """Host convenience: surface-sample both meshes, chamfer on device."""
+    from followmyhold_tpu.ops.icp import sample_surface
+
+    pa = sample_surface(verts_a, faces_a, samples, seed=seed)
+    pb = sample_surface(verts_b, faces_b, samples, seed=seed + 1)
+    return float(chamfer_distance(jnp.asarray(pa), jnp.asarray(pb)))

@@ -37,12 +37,21 @@ def _connected_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
 
 def remove_floaters(verts: np.ndarray, faces: np.ndarray,
                     keep_ratio: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
-    """Keep only the largest connected component (FloaterRemover semantics)."""
+    """Keep only the largest connected component (FloaterRemover semantics).
+
+    Uses the native C++ union-find (followmyhold_tpu.native) when available;
+    NumPy fallback otherwise."""
     if len(faces) == 0:
         return verts, faces
-    labels = _connected_components(len(verts), faces)
-    counts = np.bincount(labels, minlength=len(verts))
-    main = np.argmax(counts)
+    from followmyhold_tpu import native
+
+    res = native.connected_components(len(verts), faces)
+    if res is not None:
+        labels, main = res
+    else:
+        labels = _connected_components(len(verts), faces)
+        counts = np.bincount(labels, minlength=len(verts))
+        main = np.argmax(counts)
     keep_vert = labels == main
     return _compact(verts, faces, keep_vert)
 
@@ -73,10 +82,19 @@ def reduce_faces(verts: np.ndarray, faces: np.ndarray,
     consumer is ICP/export where exact topology is irrelevant)."""
     if len(faces) <= max_faces:
         return verts, faces
+    from followmyhold_tpu import native
+
     lo = verts.min(0)
     hi = verts.max(0)
     res = 256
     while True:
+        nat = native.decimate_grid(verts, faces, float((hi - lo).max() / res))
+        if nat is not None:
+            nv, nf2 = nat
+            if len(nf2) <= max_faces or res <= 16:
+                return nv, nf2
+            res //= 2
+            continue
         cell = (hi - lo).max() / res
         key = np.floor((verts - lo) / max(cell, 1e-12)).astype(np.int64)
         key = key[:, 0] * (res + 1) ** 2 + key[:, 1] * (res + 1) + key[:, 2]

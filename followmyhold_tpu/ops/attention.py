@@ -149,13 +149,49 @@ def multi_head_attention(
     if not use_pallas:
         return attention_xla(q, k, v, mask=mask, scale=scale)
 
-    # pad both sequence dims to block multiples; ragged KV tails are masked
-    # inside the kernel (padded Q rows produce garbage that we slice off)
+    return _flash_mha(q, k, v, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_mha(q, k, v, scale):
+    """Pallas flash forward with a recomputation backward (the kernel itself
+    is not auto-differentiable; the guidance loop differentiates through the
+    VAE attention, so the bwd re-derives softmax weights with XLA matmuls)."""
+    N = q.shape[2]
+    M = k.shape[2]
     bq, bk = 256, 256
     Np = ((N + bq - 1) // bq) * bq
     Mp = ((M + bk - 1) // bk) * bk
-    q = _pad_to(q, Np, 2)
-    k = _pad_to(k, Mp, 2)
-    v = _pad_to(v, Mp, 2)
-    out = _flash_attention_pallas(q, k, v, M, scale, bq, bk)
+    qp = _pad_to(q, Np, 2)
+    kp = _pad_to(k, Mp, 2)
+    vp = _pad_to(v, Mp, 2)
+    out = _flash_attention_pallas(qp, kp, vp, M, scale, bq, bk)
     return out[:, :, :N]
+
+
+def _flash_mha_fwd(q, k, v, scale):
+    return _flash_mha(q, k, v, scale), (q, k, v)
+
+
+def _flash_mha_bwd(scale, res, g):
+    q, k, v = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)

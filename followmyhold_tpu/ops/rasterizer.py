@@ -196,7 +196,11 @@ def rasterize(
 
             return (best_z, best_n, best_f, log_vis), None
 
-        (best_z, best_n, best_f, log_vis), _ = jax.lax.scan(body, init, face_ids_c)
+        # remat the chunk body: the backward pass otherwise stores every
+        # chunk's [C, tile, tile] edge/bary intermediates (O(F * pixels) HBM —
+        # observed 120+ GB at production shapes); recomputing them is cheap
+        body_ckpt = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
+        (best_z, best_n, best_f, log_vis), _ = jax.lax.scan(body_ckpt, init, face_ids_c)
         # Interior pixels of a closed mesh sit near shared edges where each
         # face's soft coverage is ~0.5; the hard hit-mask (no gradient)
         # saturates them to 1 while the soft product keeps boundary gradients.

@@ -103,7 +103,75 @@ class HeuristicBundle:
         return self.foreground_mask(image_rgb) & ~self.skin_mask(image_rgb)
 
 
+class LearnedBundle:
+    """The full learned stack: YOLO-class hand detector + Faster R-CNN
+    hand-object detector + GroundingDINO-class text detection + SAM-class
+    mask refinement. Built when converted weights exist under
+    assets_root()/params/ (see followmyhold_tpu.convert)."""
+
+    def __init__(self):
+        import jax.numpy as jnp
+
+        from followmyhold_tpu.models.gdino import GDinoConfig, GroundingDetector, tokenize_bytes
+        from followmyhold_tpu.models.hand_object_detector import FrcnnConfig, HandObjectDetector
+        from followmyhold_tpu.models.sam import Sam, SamConfig
+        from followmyhold_tpu.models.yolo_hand import YoloConfig, YoloHand
+        from followmyhold_tpu.utils.params import load_or_init
+
+        self.yolo = YoloHand(YoloConfig())
+        self.frcnn = HandObjectDetector(FrcnnConfig())
+        self.gdino = GroundingDetector(GDinoConfig())
+        self.sam = Sam(SamConfig())
+        self.yolo_params = load_or_init(
+            "yolo_hand", lambda k: self.yolo.init(k, jnp.zeros((1, 64, 64, 3))))
+        self.frcnn_params = load_or_init(
+            "hand_object_detector",
+            lambda k: self.frcnn.init(k, jnp.zeros((64, 64, 3))))
+        self.gdino_params = load_or_init(
+            "gdino", lambda k: self.gdino.init(
+                k, jnp.zeros((1, *self.gdino.cfg.image_encoder.img_size, 3)),
+                jnp.zeros((1, self.gdino.cfg.max_text_len), jnp.int32)))
+        self.sam_params = load_or_init(
+            "sam", lambda k: self.sam.init(
+                k, jnp.zeros((1, *self.sam.cfg.encoder.img_size, 3)),
+                jnp.zeros((1, 4))))
+
+    def detect_hands(self, image_rgb: np.ndarray) -> List[Detection]:
+        import jax.numpy as jnp
+
+        from followmyhold_tpu.models.yolo_hand import decode_detections
+
+        boxes, obj, cls = self.yolo.apply(
+            self.yolo_params, jnp.asarray(image_rgb, jnp.float32)[None] / 255.0)
+        dets = decode_detections(boxes[0], obj[0], cls[0])
+        return [Detection(box_xyxy=d["box"], score=d["score"],
+                          is_right=d["is_right"]) for d in dets]
+
+    def detect_hand_object(self, image_rgb: np.ndarray):
+        from followmyhold_tpu.models.hand_object_detector import detect_hand_object
+
+        return detect_hand_object(self.frcnn, self.frcnn_params, image_rgb)
+
+    def segment(self, image_rgb: np.ndarray, prompt: str) -> np.ndarray:
+        from followmyhold_tpu.models.gdino import detect_text_prompt
+        from followmyhold_tpu.models.sam import segment_box
+
+        dets = detect_text_prompt(self.gdino, self.gdino_params, image_rgb, prompt)
+        if not dets:
+            return np.zeros(image_rgb.shape[:2], bool)
+        mask = np.zeros(image_rgb.shape[:2], bool)
+        for d in dets[:1]:
+            mask |= segment_box(self.sam, self.sam_params, image_rgb, d["box"])
+        return mask
+
+
 def default_bundle() -> DetectorBundle:
-    """Learned bundle when weights exist; heuristic fallback otherwise."""
-    # learned bundles register here as they are converted
+    """Learned bundle when converted weights exist; heuristic fallback
+    otherwise (keeps the pipeline runnable without downloads)."""
+    from followmyhold_tpu.utils.params import has_params
+
+    learned_ready = all(has_params(n) for n in
+                        ("yolo_hand", "hand_object_detector", "gdino", "sam"))
+    if learned_ready:
+        return LearnedBundle()
     return HeuristicBundle()

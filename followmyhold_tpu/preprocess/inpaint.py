@@ -36,9 +36,56 @@ def _read_gemini_names(path: Optional[str]) -> Dict[str, str]:
     return names
 
 
+_LEARNED = None
+
+
+def _learned_inpainter():
+    """FLUX-class diffusion inpainter when converted weights exist."""
+    global _LEARNED
+    if _LEARNED is not None:
+        return _LEARNED
+    from followmyhold_tpu.utils.params import has_params
+
+    if not has_params("flux_inpaint"):
+        _LEARNED = False
+        return False
+    import jax.numpy as jnp
+
+    from followmyhold_tpu.models.flux_inpaint import FluxInpaintConfig, FluxInpainter
+    from followmyhold_tpu.models.gdino import tokenize_bytes
+    from followmyhold_tpu.utils.params import load_or_init
+
+    model = FluxInpainter(FluxInpaintConfig())
+    params = load_or_init("flux_inpaint", lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64)),
+        jnp.zeros((1, model.cfg.text.max_text_len), jnp.int32),
+        jnp.zeros(1), jnp.zeros((1, 8, 8, model.cfg.latent_channels))))
+    _LEARNED = (model, params)
+    return _LEARNED
+
+
 def inpaint_hand(image_rgb: np.ndarray, hand_mask: np.ndarray,
-                 radius: int = 7) -> np.ndarray:
-    """Remove the hand region. Classical backend: dilate mask + Telea."""
+                 radius: int = 7, object_name: str = "object") -> np.ndarray:
+    """Remove the hand region. Learned FLUX-class backend when weights exist
+    (prompt "Remove hands but keep the {object}", matching inpaint.py:66-67);
+    classical dilate+Telea fallback otherwise."""
+    learned = _learned_inpainter()
+    if learned:
+        import jax
+        import jax.numpy as jnp
+
+        from followmyhold_tpu.models.flux_inpaint import inpaint as flux_inpaint
+        from followmyhold_tpu.utils.prng import SEED_INPAINT, stage_key
+
+        model, params = learned
+        out = flux_inpaint(
+            model, params,
+            jnp.asarray(image_rgb, jnp.float32)[None] / 255.0,
+            jnp.asarray(hand_mask, jnp.float32)[None],
+            f"Remove hands but keep the {object_name}",
+            stage_key(SEED_INPAINT, "inpaint"))
+        return (np.asarray(out[0]) * 255).astype(np.uint8)
+
     import cv2
 
     mask = hand_mask.astype(np.uint8) * 255
@@ -79,8 +126,8 @@ def run(
         else:
             hand_mask = np.zeros(img.shape[:2], bool)
 
-        _ = names.get(image_id, "object")  # prompt hook for the learned backend
-        result = inpaint_hand(img, hand_mask)
+        result = inpaint_hand(img, hand_mask,
+                              object_name=names.get(image_id, "object"))
         Image.fromarray(result).save(out_path)
         print(f"Inpainted {image_id}")
 

@@ -42,3 +42,27 @@ def load_or_init(name: str, init_fn: Callable[[jax.Array], Any], seed: int = 0) 
 
 def has_params(name: str) -> bool:
     return os.path.exists(params_path(name))
+
+
+def fast_init(init_fn: Callable[..., Any], *args, seed: int = 0, scale: float = 0.02):
+    """Build a param tree WITHOUT running the init forward pass.
+
+    jax.eval_shape traces init_fn abstractly (no device compute — big-model
+    init over a remote TPU tunnel otherwise takes minutes), then ONE jitted
+    program fills all leaves with small random values ON DEVICE (host->device
+    transfer of multi-GB param trees over the tunnel is the other bottleneck).
+    For benchmarking and smoke runs only; real weights come from
+    load_or_init/converted ckpts.
+    """
+    shapes = jax.eval_shape(init_fn, jax.random.key(seed), *args)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def build(key):
+        keys = jax.random.split(key, len(leaves))
+        return [
+            (jax.random.normal(k, l.shape, jax.numpy.float32) * scale).astype(l.dtype)
+            for k, l in zip(keys, leaves)
+        ]
+
+    return jax.tree_util.tree_unflatten(treedef, build(jax.random.key(seed)))

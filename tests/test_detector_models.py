@@ -1,0 +1,141 @@
+"""Smoke + contract tests for the detector/segmentation/inpainting model
+families (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followmyhold_tpu.models.flux_inpaint import FLUX_TINY, FluxInpainter, inpaint
+from followmyhold_tpu.models.gdino import (
+    GDINO_TINY,
+    GroundingDetector,
+    detect_text_prompt,
+    tokenize_bytes,
+)
+from followmyhold_tpu.models.hand_object_detector import (
+    FRCNN_TINY,
+    HandObjectDetector,
+    detect_hand_object,
+    make_anchors,
+    match_hands_to_objects,
+)
+from followmyhold_tpu.models.sam import SAM_TINY, Sam, segment_box
+from followmyhold_tpu.models.vitpose import (
+    VITPOSE_TINY,
+    ViTPose,
+    hand_bboxes_from_wholebody,
+    heatmaps_to_keypoints,
+)
+from followmyhold_tpu.models.yolo_hand import YOLO_TINY, YoloHand, decode_detections
+
+
+def test_vitpose_heatmaps_and_keypoints():
+    model = ViTPose(VITPOSE_TINY)
+    x = jnp.ones((1, 64, 48, 3))
+    params = model.init(jax.random.key(0), x)
+    hm = model.apply(params, x)
+    assert hm.shape == (1, 16, 12, 133)
+    kps = heatmaps_to_keypoints(hm, (64, 48))
+    assert kps.shape == (1, 133, 3)
+    k = np.asarray(kps[0])
+    assert (k[:, 0] <= 48).all() and (k[:, 1] <= 64).all()
+
+
+def test_hand_bboxes_from_wholebody_blocks():
+    kps = np.zeros((133, 3), np.float32)
+    kps[91:112, :2] = [10, 20]
+    kps[91:96, 2] = 0.9  # 5 confident left-hand kps
+    kps[91:96, 0] = [10, 12, 14, 16, 18]
+    left, right = hand_bboxes_from_wholebody(kps)
+    assert left is not None and right is None
+    np.testing.assert_allclose(left, [10, 20, 18, 20])
+
+
+def test_yolo_decode():
+    model = YoloHand(YOLO_TINY)
+    x = jnp.ones((1, 64, 64, 3))
+    params = model.init(jax.random.key(0), x)
+    boxes, obj, cls = model.apply(params, x)
+    assert boxes.shape[0] == 1 and boxes.shape[2] == 4
+    dets = decode_detections(boxes[0], obj[0], cls[0], conf_threshold=0.0)
+    assert len(dets) >= 1
+    assert "is_right" in dets[0]
+
+
+def test_frcnn_outputs_and_matching():
+    model = HandObjectDetector(FRCNN_TINY)
+    img = jnp.ones((64, 64, 3)) * 0.5
+    params = model.init(jax.random.key(0), img)
+    out = model.apply(params, img)
+    n = FRCNN_TINY.post_nms_top_n
+    assert out["rois"].shape == (n, 4)
+    assert out["cls_probs"].shape == (n, 3)
+    assert out["contact_state"].shape == (n, 5)
+    assert out["offset"].shape == (n, 3)
+    # offset direction is 0.1-normalized (extension_layers.py:73-76)
+    d = np.linalg.norm(np.asarray(out["offset"])[:, 1:], axis=-1)
+    np.testing.assert_allclose(d, 0.1, atol=1e-4)
+
+    obj_b, hand_b = detect_hand_object(model, params, np.ones((64, 64, 3), np.uint8))
+    # no training: either None or a valid union box
+    for b in (obj_b, hand_b):
+        if b is not None:
+            assert b.shape == (4,)
+
+    # filter_object port
+    objs = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+    hands = np.array([[48, 48, 58, 58]], np.float32)
+    contact = np.array([3])
+    offsets = np.array([[0.001, 0.07, 0.07]], np.float32)  # points to +x+y
+    ids = match_hands_to_objects(objs, hands, contact, offsets)
+    assert ids == [1]
+    assert match_hands_to_objects(objs, hands, np.array([0]), offsets) == [-1]
+
+
+def test_anchors_shape():
+    a = make_anchors(4, 4, 16, 12)
+    assert a.shape == (4 * 4 * 12, 4)
+    assert (a[:, 2] > a[:, 0]).all()
+
+
+def test_sam_segment_box():
+    model = Sam(SAM_TINY)
+    img = jnp.ones((1, 64, 64, 3)) * 0.5
+    box = jnp.asarray([[0.2, 0.2, 0.8, 0.8]])
+    params = model.init(jax.random.key(0), img, box)
+    logits, iou = model.apply(params, img, box)
+    assert logits.shape == (1, 64, 64, SAM_TINY.num_mask_tokens)
+    assert iou.shape == (1, SAM_TINY.num_mask_tokens)
+    mask = segment_box(model, params, np.full((64, 64, 3), 128, np.uint8),
+                       np.array([10, 10, 50, 50]))
+    assert mask.shape == (64, 64) and mask.dtype == bool
+
+
+def test_gdino_detect():
+    model = GroundingDetector(GDINO_TINY)
+    img = jnp.ones((1, 56, 56, 3)) * 0.5
+    toks = jnp.asarray(tokenize_bytes("cup", 16))[None]
+    params = model.init(jax.random.key(0), img, toks)
+    boxes, logits = model.apply(params, img, toks)
+    assert boxes.shape == (1, GDINO_TINY.num_queries, 4)
+    assert float(boxes.min()) >= 0 and float(boxes.max()) <= 1
+    dets = detect_text_prompt(model, params, np.full((80, 60, 3), 100, np.uint8),
+                              "cup", box_threshold=0.0)
+    assert len(dets) >= 1
+    assert dets[0]["box"].shape == (4,)
+
+
+def test_flux_inpaint_composites_unmasked():
+    model = FluxInpainter(FLUX_TINY)
+    img = jnp.ones((1, 32, 32, 3)) * 0.6
+    mask = jnp.zeros((1, 32, 32)).at[:, 8:16, 8:16].set(1.0)
+    toks = jnp.asarray(tokenize_bytes("remove hand", 16))[None]
+    z = jnp.zeros((1, 4, 4, 4))
+    params = model.init(jax.random.key(0), img, mask, toks, jnp.zeros(1), z)
+    out = inpaint(model, params, img, mask, "remove hand", jax.random.key(1),
+                  num_steps=2)
+    out = np.asarray(out)
+    assert out.shape == (1, 32, 32, 3)
+    # unmasked pixels preserved exactly
+    np.testing.assert_allclose(out[0, 0, 0], 0.6, atol=1e-6)
+    assert np.isfinite(out).all()

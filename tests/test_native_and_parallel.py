@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from followmyhold_tpu import native
+from followmyhold_tpu.geometry.postprocess import (
+    reduce_faces,
+    remove_degenerate_faces,
+    remove_floaters,
+)
+from followmyhold_tpu.parallel import make_mesh, parse_mesh_shape, shard_model_params
+
+
+def grid_mesh(n, offset=(0, 0, 0)):
+    """n x n planar grid mesh: (n+1)^2 verts, 2n^2 faces, one component."""
+    ys, xs = np.meshgrid(np.arange(n + 1), np.arange(n + 1), indexing="ij")
+    verts = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3).astype(np.float32)
+    verts += np.asarray(offset, np.float32)
+    idx = np.arange((n + 1) * (n + 1)).reshape(n + 1, n + 1)
+    f1 = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[1:, 1:]], -1).reshape(-1, 3)
+    f2 = np.stack([idx[:-1, :-1], idx[1:, 1:], idx[:-1, 1:]], -1).reshape(-1, 3)
+    return verts, np.concatenate([f1, f2]).astype(np.int32)
+
+
+def test_remove_floaters_keeps_largest():
+    v1, f1 = grid_mesh(10)
+    v2, f2 = grid_mesh(2, offset=(100, 100, 100))
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+    nv, nf = remove_floaters(verts, faces)
+    assert len(nv) == len(v1)
+    assert len(nf) == len(f1)
+    assert (nv.max(0) < 50).all()
+
+
+def test_remove_degenerate_faces():
+    v, f = grid_mesh(4)
+    bad = np.array([[0, 0, 1], [2, 2, 2], [0, 1, 1]], np.int32)
+    nv, nf = remove_degenerate_faces(v, np.concatenate([f, bad]))
+    assert len(nf) == len(f)
+
+
+def test_reduce_faces_structured():
+    v, f = grid_mesh(100)  # 20000 faces
+    nv, nf = reduce_faces(v, f, max_faces=5000)
+    assert len(nf) <= 5000
+    assert len(nv) > 10
+    # geometry preserved approximately
+    assert nv.min() >= -1 and nv.max() <= 101
+
+
+def test_native_lib_matches_numpy_components():
+    if native.get_lib() is None:
+        pytest.skip("no compiler")
+    v1, f1 = grid_mesh(5)
+    v2, f2 = grid_mesh(3, offset=(50, 0, 0))
+    verts = np.concatenate([v1, v2])
+    faces = np.concatenate([f1, f2 + len(v1)])
+    labels, main = native.connected_components(len(verts), faces)
+    assert (labels[: len(v1)] == labels[0]).all()
+    assert (labels[len(v1):] == labels[len(v1)]).all()
+    assert labels[0] != labels[len(v1)]
+    assert main == labels[0]  # larger component
+
+
+# ---------- parallel ----------
+
+def test_parse_mesh_shape():
+    assert parse_mesh_shape("dp=4,tp=2", 8) == {"dp": 4, "tp": 2}
+    assert parse_mesh_shape("dp=-1", 8) == {"dp": 8}
+    assert parse_mesh_shape("dp=-1,tp=2", 8) == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        parse_mesh_shape("dp=-1,tp=-1", 8)
+    with pytest.raises(ValueError):
+        parse_mesh_shape("dp=3", 8)  # covered at make_mesh; parse ok
+        make_mesh("dp=3")
+
+
+def test_make_mesh_and_shard_params():
+    mesh = make_mesh("dp=2,tp=4")
+    assert mesh.devices.shape == (2, 4)
+
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(16, name="qkv")(x)
+            x = nn.Dense(8, name="proj")(x)
+            return nn.LayerNorm(name="norm")(x)
+
+    m = M()
+    params = m.init(jax.random.key(0), jnp.ones((1, 8)))
+    sharded = shard_model_params(params, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(sharded)
+    specs = {}
+    for path, leaf in flat:
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        specs[name] = leaf.sharding.spec
+    # column-parallel qkv: output dim sharded over tp
+    assert specs["params/qkv/kernel"] == jax.sharding.PartitionSpec(None, "tp")
+    # row-parallel proj: input dim sharded
+    assert specs["params/proj/kernel"] == jax.sharding.PartitionSpec("tp", None)
+    # norms replicated
+    assert specs["params/norm/scale"] == jax.sharding.PartitionSpec()
+
+
+def test_sharded_matmul_executes():
+    mesh = make_mesh("dp=4,tp=2")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jax.device_put(jnp.ones((8, 16)), NamedSharding(mesh, P("dp")))
+    w = jax.device_put(jnp.ones((16, 32)), NamedSharding(mesh, P(None, "tp")))
+
+    @jax.jit
+    def f(x, w):
+        return x @ w
+
+    out = f(x, w)
+    np.testing.assert_allclose(np.asarray(out), 16.0)
