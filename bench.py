@@ -39,6 +39,10 @@ def _timeit(fn, *args, iters=3, warmup=1):
 
 def main() -> None:
     import jax
+
+    from followmyhold_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     import jax.numpy as jnp
     import numpy as np
 

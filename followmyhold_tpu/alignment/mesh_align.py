@@ -10,7 +10,6 @@ itself is the jitted on-device ICP from ops/icp.py instead of scipy cKDTree.
 from __future__ import annotations
 
 import argparse
-import os
 import time
 from typing import Optional
 

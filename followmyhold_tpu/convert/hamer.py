@@ -10,7 +10,7 @@ models/hamer.Hamer. Run:
 from __future__ import annotations
 
 import argparse
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ so mappings can be adjusted without guessing.
 from __future__ import annotations
 
 import argparse
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

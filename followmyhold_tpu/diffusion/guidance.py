@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +236,7 @@ class GuidedSampler:
     max_faces: int = 49152
     vae_chunk: int = 8192
     raster_faces_per_tile: int = 4096
+    hand_faces_per_tile: int = 2048   # hand-only renders (1538 faces) need less
     final_octree_resolution: Optional[int] = None  # None -> config value
 
     # ------------------------------------------------------------------ #
@@ -249,6 +250,10 @@ class GuidedSampler:
 
     def _raster_kw(self):
         return dict(faces_per_tile=self.raster_faces_per_tile)
+
+    def _hand_raster_kw(self):
+        return dict(faces_per_tile=min(self.hand_faces_per_tile,
+                                       self.raster_faces_per_tile))
 
     # phase 1: hand only ------------------------------------------------ #
 
@@ -267,7 +272,7 @@ class GuidedSampler:
         def loss_fn(p: PoseParams):
             verts = _transform_hand(targets, p)
             losses, _ = _hand_render_losses(
-                verts, targets, self.camera, self._raster_kw(), with_sil=True)
+                verts, targets, self.camera, self._hand_raster_kw(), with_sil=True)
             total = (
                 1e-2 * losses["kps2d"]
                 + 1.0 * losses["normal"]
@@ -375,7 +380,8 @@ class GuidedSampler:
         def loss_fn(p):
             hand_verts = _transform_hand(targets, p["hand"])
             h_losses, _ = _hand_render_losses(
-                hand_verts, targets, self.camera, self._raster_kw(), with_sil=False)
+                hand_verts, targets, self.camera, self._hand_raster_kw(),
+                with_sil=False)
             hand_loss = (
                 1e-4 * h_losses["kps2d"]
                 + 10.0 * h_losses["normal"]

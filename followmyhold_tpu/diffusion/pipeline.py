@@ -7,8 +7,7 @@ decode -> (negated) SDF -> marching-tets mesh.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

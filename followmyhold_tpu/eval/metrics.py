@@ -13,7 +13,7 @@ All on-device (jit) with host-convenience wrappers.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

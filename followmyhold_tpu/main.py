@@ -19,6 +19,9 @@ from followmyhold_tpu.configs import PipelineConfig, load_config
 
 
 def run_pipeline(cfg: PipelineConfig) -> None:
+    from followmyhold_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
     if cfg.suppress_warnings:
         warnings.filterwarnings("ignore", category=FutureWarning)
         warnings.filterwarnings("ignore", category=UserWarning)

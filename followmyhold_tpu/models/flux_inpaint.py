@@ -15,8 +15,6 @@ architecture-complete for conversion.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ tokenizer is byte-level so no external vocab asset is needed.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ betas(10), cam(3 weak-persp) -> cam_t via 2f/(s*b); MANO forward gives verts +
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax.numpy as jnp

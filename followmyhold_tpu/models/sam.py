@@ -10,8 +10,6 @@ LangSAM.predict's boxes->masks contract (lang_sam.py:18-74).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -157,7 +157,6 @@ def shared_grid_sdfs(
     intersection loss in guidance phase 2.
     """
     from followmyhold_tpu.ops.grid import generate_grid_jax
-    from followmyhold_tpu.ops.transforms import masked_bbox_center  # noqa: F401
 
     def _bounds(v, m):
         if m is None:

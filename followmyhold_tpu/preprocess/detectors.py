@@ -112,7 +112,7 @@ class LearnedBundle:
     def __init__(self):
         import jax.numpy as jnp
 
-        from followmyhold_tpu.models.gdino import GDinoConfig, GroundingDetector, tokenize_bytes
+        from followmyhold_tpu.models.gdino import GDinoConfig, GroundingDetector
         from followmyhold_tpu.models.hand_object_detector import FrcnnConfig, HandObjectDetector
         from followmyhold_tpu.models.sam import Sam, SamConfig
         from followmyhold_tpu.models.yolo_hand import YoloConfig, YoloHand

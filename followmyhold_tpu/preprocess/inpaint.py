@@ -52,7 +52,6 @@ def _learned_inpainter():
     import jax.numpy as jnp
 
     from followmyhold_tpu.models.flux_inpaint import FluxInpaintConfig, FluxInpainter
-    from followmyhold_tpu.models.gdino import tokenize_bytes
     from followmyhold_tpu.utils.params import load_or_init
 
     model = FluxInpainter(FluxInpaintConfig())

@@ -10,7 +10,7 @@ are pluggable (preprocess/detectors.py).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -49,7 +49,7 @@ def _reconstruct(image_rgb: np.ndarray) -> dict:
     identical ids; each request gets a fresh workspace.)"""
     from PIL import Image
 
-    from followmyhold_tpu.configs.pipeline import PipelineConfig, load_config
+    from followmyhold_tpu.configs.pipeline import load_config
     from followmyhold_tpu.main import run_pipeline
 
     with tempfile.TemporaryDirectory() as td:

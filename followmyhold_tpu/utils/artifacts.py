@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Optional
-
 from followmyhold_tpu.configs.pipeline import PipelineConfig
 
 
