@@ -62,34 +62,43 @@ def convert_hamer(torch_sd: Dict[str, np.ndarray],
             put(params, dst, tf(v) if tf else v, report)
 
     # transformer decoder layers: torch pose_transformer layout is
-    # transformer.layers.{i}.{0,1,2}.{norm,fn}.* (self-attn, cross-attn, ff)
-    for i in range(cfg.head_depth):
-        t = f"mano_head.transformer.layers.{i}."
-        f = f"{head}/layer{i}"
-        pairs = [
-            (t + "0.norm.weight", f + "/norm_sa/scale", None),
-            (t + "0.norm.bias", f + "/norm_sa/bias", None),
-            (t + "0.fn.to_qkv.weight", f + "/sa/to_qkv/kernel", dense_kernel),
-            (t + "0.fn.to_out.0.weight", f + "/sa/to_out/kernel", dense_kernel),
-            (t + "0.fn.to_out.0.bias", f + "/sa/to_out/bias", None),
-            (t + "1.norm.weight", f + "/norm_ca/scale", None),
-            (t + "1.norm.bias", f + "/norm_ca/bias", None),
-            (t + "1.fn.to_q.weight", f + "/ca/to_q/kernel", dense_kernel),
-            (t + "1.fn.to_kv.weight", f + "/ca/to_kv/kernel", dense_kernel),
-            (t + "1.fn.to_out.0.weight", f + "/ca/to_out/kernel", dense_kernel),
-            (t + "1.fn.to_out.0.bias", f + "/ca/to_out/bias", None),
-            (t + "2.norm.weight", f + "/norm_ff/scale", None),
-            (t + "2.norm.bias", f + "/norm_ff/bias", None),
-            (t + "2.fn.net.0.weight", f + "/ff1/kernel", dense_kernel),
-            (t + "2.fn.net.0.bias", f + "/ff1/bias", None),
-            (t + "2.fn.net.3.weight", f + "/ff2/kernel", dense_kernel),
-            (t + "2.fn.net.3.bias", f + "/ff2/bias", None),
-        ]
-        for src, dst, tf in pairs:
-            if src in sd:
-                put(params, dst, tf(sd.pop(src)) if tf else sd.pop(src), report)
+    # transformer.layers.{i}.{0,1,2}.{norm,fn}.* (self-attn, cross-attn, ff);
+    # the Flax head folds depth with nn.scan -> stack along a leading axis.
+    layer_map = [
+        ("0.norm.weight", "norm_sa/scale", None),
+        ("0.norm.bias", "norm_sa/bias", None),
+        ("0.fn.to_qkv.weight", "sa/to_qkv/kernel", dense_kernel),
+        ("0.fn.to_out.0.weight", "sa/to_out/kernel", dense_kernel),
+        ("0.fn.to_out.0.bias", "sa/to_out/bias", None),
+        ("1.norm.weight", "norm_ca/scale", None),
+        ("1.norm.bias", "norm_ca/bias", None),
+        ("1.fn.to_q.weight", "ca/to_q/kernel", dense_kernel),
+        ("1.fn.to_kv.weight", "ca/to_kv/kernel", dense_kernel),
+        ("1.fn.to_out.0.weight", "ca/to_out/kernel", dense_kernel),
+        ("1.fn.to_out.0.bias", "ca/to_out/bias", None),
+        ("2.norm.weight", "norm_ff/scale", None),
+        ("2.norm.bias", "norm_ff/bias", None),
+        ("2.fn.net.0.weight", "ff1/kernel", dense_kernel),
+        ("2.fn.net.0.bias", "ff1/bias", None),
+        ("2.fn.net.3.weight", "ff2/kernel", dense_kernel),
+        ("2.fn.net.3.bias", "ff2/bias", None),
+    ]
+    import numpy as _np
+
+    for src_rel, dst_rel, tf in layer_map:
+        stacked = []
+        ok = True
+        for i in range(cfg.head_depth):
+            key = f"mano_head.transformer.layers.{i}.{src_rel}"
+            if key in sd:
+                v = sd.pop(key)
+                stacked.append(tf(v) if tf else v)
             else:
-                report.missing_src.append(src)
+                report.missing_src.append(key)
+                ok = False
+        if ok and stacked:
+            put(params, f"{head}/layers/layer/{dst_rel}", _np.stack(stacked),
+                report)
 
     report.unused_src.extend(k for k in sd)
     return params, report

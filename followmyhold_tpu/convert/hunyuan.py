@@ -55,35 +55,47 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg: DiTConfig | None = None,
         take(f"{n}.weight", f"params/{fl}/kernel", dense_kernel)
         take(f"{n}.bias", f"params/{fl}/bias")
 
-    for i in range(cfg.depth_double):
-        t = f"double_blocks.{i}."
-        f = f"params/double{i}"
-        for stream in ("img", "txt"):
-            take(t + f"{stream}_mod.lin.weight", f + f"/{stream}_mod/lin/kernel",
-                 dense_kernel)
-            take(t + f"{stream}_mod.lin.bias", f + f"/{stream}_mod/lin/bias")
-            take(t + f"{stream}_attn.qkv.weight", f + f"/{stream}_qkv/kernel",
-                 dense_kernel)
-            take(t + f"{stream}_attn.qkv.bias", f + f"/{stream}_qkv/bias")
-            take(t + f"{stream}_attn.proj.weight", f + f"/{stream}_proj/kernel",
-                 dense_kernel)
-            take(t + f"{stream}_attn.proj.bias", f + f"/{stream}_proj/bias")
-            take(t + f"{stream}_mlp.0.weight", f + f"/{stream}_mlp1/kernel",
-                 dense_kernel)
-            take(t + f"{stream}_mlp.0.bias", f + f"/{stream}_mlp1/bias")
-            take(t + f"{stream}_mlp.2.weight", f + f"/{stream}_mlp2/kernel",
-                 dense_kernel)
-            take(t + f"{stream}_mlp.2.bias", f + f"/{stream}_mlp2/bias")
+    def take_stacked(depth, src_fmt, dst, tf=None):
+        stacked = []
+        ok = True
+        for i in range(depth):
+            key = src_fmt.format(i=i)
+            if key in sd:
+                v = sd.pop(key)
+                stacked.append(tf(v) if tf else v)
+            else:
+                report.missing_src.append(key)
+                ok = False
+        if ok and stacked:
+            put(params, dst, np.stack(stacked), report)
 
-    for i in range(cfg.depth_single):
-        t = f"single_blocks.{i}."
-        f = f"params/single{i}"
-        take(t + "modulation.lin.weight", f + "/mod/lin/kernel", dense_kernel)
-        take(t + "modulation.lin.bias", f + "/mod/lin/bias")
-        take(t + "linear1.weight", f + "/linear1/kernel", dense_kernel)
-        take(t + "linear1.bias", f + "/linear1/bias")
-        take(t + "linear2.weight", f + "/linear2/kernel", dense_kernel)
-        take(t + "linear2.bias", f + "/linear2/bias")
+    # nn.scan layout: per-layer tensors stacked along a leading depth axis
+    for stream in ("img", "txt"):
+        for src_rel, dst_rel, tf in (
+            (f"{stream}_mod.lin.weight", f"{stream}_mod/lin/kernel", dense_kernel),
+            (f"{stream}_mod.lin.bias", f"{stream}_mod/lin/bias", None),
+            (f"{stream}_attn.qkv.weight", f"{stream}_qkv/kernel", dense_kernel),
+            (f"{stream}_attn.qkv.bias", f"{stream}_qkv/bias", None),
+            (f"{stream}_attn.proj.weight", f"{stream}_proj/kernel", dense_kernel),
+            (f"{stream}_attn.proj.bias", f"{stream}_proj/bias", None),
+            (f"{stream}_mlp.0.weight", f"{stream}_mlp1/kernel", dense_kernel),
+            (f"{stream}_mlp.0.bias", f"{stream}_mlp1/bias", None),
+            (f"{stream}_mlp.2.weight", f"{stream}_mlp2/kernel", dense_kernel),
+            (f"{stream}_mlp.2.bias", f"{stream}_mlp2/bias", None),
+        ):
+            take_stacked(cfg.depth_double, "double_blocks.{i}." + src_rel,
+                         f"params/double_blocks/block/{dst_rel}", tf)
+
+    for src_rel, dst_rel, tf in (
+        ("modulation.lin.weight", "mod/lin/kernel", dense_kernel),
+        ("modulation.lin.bias", "mod/lin/bias", None),
+        ("linear1.weight", "linear1/kernel", dense_kernel),
+        ("linear1.bias", "linear1/bias", None),
+        ("linear2.weight", "linear2/kernel", dense_kernel),
+        ("linear2.bias", "linear2/bias", None),
+    ):
+        take_stacked(cfg.depth_single, "single_blocks.{i}." + src_rel,
+                     f"params/single_blocks/block/{dst_rel}", tf)
 
     take("final_layer.adaLN_modulation.1.weight", "params/final_mod/lin/kernel",
          dense_kernel)
@@ -112,21 +124,37 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg: ShapeVAEConfig | None = None):
 
     take("post_kl.weight", "params/decoder/post_kl/kernel", dense_kernel)
     take("post_kl.bias", "params/decoder/post_kl/bias")
-    for i in range(cfg.depth):
-        t = f"transformer.resblocks.{i}."
-        f = f"params/decoder/block{i}"
-        take(t + "ln_1.weight", f + "/ln1/scale")
-        take(t + "ln_1.bias", f + "/ln1/bias")
-        take(t + "attn.c_qkv.weight", f + "/qkv/kernel", dense_kernel)
-        take(t + "attn.c_qkv.bias", f + "/qkv/bias")
-        take(t + "attn.c_proj.weight", f + "/proj/kernel", dense_kernel)
-        take(t + "attn.c_proj.bias", f + "/proj/bias")
-        take(t + "ln_2.weight", f + "/ln2/scale")
-        take(t + "ln_2.bias", f + "/ln2/bias")
-        take(t + "mlp.c_fc.weight", f + "/fc1/kernel", dense_kernel)
-        take(t + "mlp.c_fc.bias", f + "/fc1/bias")
-        take(t + "mlp.c_proj.weight", f + "/fc2/kernel", dense_kernel)
-        take(t + "mlp.c_proj.bias", f + "/fc2/bias")
+
+    def take_stacked(depth, src_fmt, dst, tf=None):
+        stacked = []
+        ok = True
+        for i in range(depth):
+            key = src_fmt.format(i=i)
+            if key in sd:
+                v = sd.pop(key)
+                stacked.append(tf(v) if tf else v)
+            else:
+                report.missing_src.append(key)
+                ok = False
+        if ok and stacked:
+            put(params, dst, np.stack(stacked), report)
+
+    for src_rel, dst_rel, tf in (
+        ("ln_1.weight", "ln1/scale", None),
+        ("ln_1.bias", "ln1/bias", None),
+        ("attn.c_qkv.weight", "qkv/kernel", dense_kernel),
+        ("attn.c_qkv.bias", "qkv/bias", None),
+        ("attn.c_proj.weight", "proj/kernel", dense_kernel),
+        ("attn.c_proj.bias", "proj/bias", None),
+        ("ln_2.weight", "ln2/scale", None),
+        ("ln_2.bias", "ln2/bias", None),
+        ("mlp.c_fc.weight", "fc1/kernel", dense_kernel),
+        ("mlp.c_fc.bias", "fc1/bias", None),
+        ("mlp.c_proj.weight", "fc2/kernel", dense_kernel),
+        ("mlp.c_proj.bias", "fc2/bias", None),
+    ):
+        take_stacked(cfg.depth, "transformer.resblocks.{i}." + src_rel,
+                     f"params/decoder/blocks/block/{dst_rel}", tf)
     take("ln_post.weight", "params/decoder/ln_post/scale")
     take("ln_post.bias", "params/decoder/ln_post/bias")
 

@@ -6,6 +6,9 @@ Covers the encoder layout shared by HaMeR's backbone
 Hunyuan conditioner encoder: patch_embed.proj conv, pos_embed, optional
 cls_token/register_tokens, blocks[i].{norm1, attn.qkv, attn.proj, norm2,
 mlp.fc1, mlp.fc2, ls1.gamma, ls2.gamma}, final norm.
+
+The Flax ViT folds depth with nn.scan, so per-layer torch tensors are STACKED
+along a leading depth axis at {root}/blocks/block/....
 """
 
 from __future__ import annotations
@@ -20,6 +23,23 @@ from followmyhold_tpu.convert.common import (
     dense_kernel,
     put,
 )
+
+# torch per-block key -> (flax subpath under blocks/block, transform)
+_BLOCK_MAP = [
+    ("norm1.weight", "norm1/scale", None),
+    ("norm1.bias", "norm1/bias", None),
+    ("attn.qkv.weight", "attn/qkv/kernel", dense_kernel),
+    ("attn.qkv.bias", "attn/qkv/bias", None),
+    ("attn.proj.weight", "attn/proj/kernel", dense_kernel),
+    ("attn.proj.bias", "attn/proj/bias", None),
+    ("norm2.weight", "norm2/scale", None),
+    ("norm2.bias", "norm2/bias", None),
+    ("mlp.fc1.weight", "mlp/fc1/kernel", dense_kernel),
+    ("mlp.fc1.bias", "mlp/fc1/bias", None),
+    ("mlp.fc2.weight", "mlp/fc2/kernel", dense_kernel),
+    ("mlp.fc2.bias", "mlp/fc2/bias", None),
+]
+_BLOCK_OPTIONAL = [("ls1.gamma", "ls1", None), ("ls2.gamma", "ls2", None)]
 
 
 def convert_vit(
@@ -38,8 +58,7 @@ def convert_vit(
 
     def grab(key):
         if key in sd:
-            v = sd.pop(key)
-            return v
+            return sd.pop(key)
         report.missing_src.append(prefix + key)
         return None
 
@@ -64,32 +83,24 @@ def convert_vit(
             (int(k.split(".")[1]) for k in sd if k.startswith("blocks.")),
             default=-1)
 
-    for i in range(depth):
-        b = f"blocks.{i}."
-        blk = f"{root}/block{i}"
-        pairs = [
-            (b + "norm1.weight", f"{blk}/norm1/scale", None),
-            (b + "norm1.bias", f"{blk}/norm1/bias", None),
-            (b + "attn.qkv.weight", f"{blk}/attn/qkv/kernel", dense_kernel),
-            (b + "attn.qkv.bias", f"{blk}/attn/qkv/bias", None),
-            (b + "attn.proj.weight", f"{blk}/attn/proj/kernel", dense_kernel),
-            (b + "attn.proj.bias", f"{blk}/attn/proj/bias", None),
-            (b + "norm2.weight", f"{blk}/norm2/scale", None),
-            (b + "norm2.bias", f"{blk}/norm2/bias", None),
-            (b + "mlp.fc1.weight", f"{blk}/mlp/fc1/kernel", dense_kernel),
-            (b + "mlp.fc1.bias", f"{blk}/mlp/fc1/bias", None),
-            (b + "mlp.fc2.weight", f"{blk}/mlp/fc2/kernel", dense_kernel),
-            (b + "mlp.fc2.bias", f"{blk}/mlp/fc2/bias", None),
-        ]
-        for src, dst, tf in pairs:
-            v = grab(src)
-            if v is not None:
-                put(flax_params, dst, tf(v) if tf else v, report)
-        # DINOv2 LayerScale
-        for src, dst in ((b + "ls1.gamma", f"{blk}/ls1"),
-                         (b + "ls2.gamma", f"{blk}/ls2")):
-            if src in sd:
-                put(flax_params, dst, sd.pop(src), report)
+    # stack per-layer tensors along a leading depth axis
+    block_map = list(_BLOCK_MAP)
+    if "blocks.0.ls1.gamma" in sd:
+        block_map += _BLOCK_OPTIONAL
+    for src_rel, dst_rel, tf in block_map:
+        layers = []
+        ok = True
+        for i in range(depth):
+            key = f"blocks.{i}.{src_rel}"
+            if key not in sd:
+                report.missing_src.append(prefix + key)
+                ok = False
+                continue
+            v = sd.pop(key)
+            layers.append(tf(v) if tf else v)
+        if ok and layers:
+            put(flax_params, f"{root}/blocks/block/{dst_rel}",
+                np.stack(layers), report)
 
     for src, dst in (("norm.weight", f"{root}/norm/scale"),
                      ("norm.bias", f"{root}/norm/bias"),

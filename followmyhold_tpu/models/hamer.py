@@ -157,8 +157,19 @@ class ManoHead(nn.Module):
         for _ in range(c.ief_iters):
             token = jnp.zeros((B, 1, 1), c.dtype)
             x = nn.Dense(c.head_dim, dtype=c.dtype, name="input_proj")(token)
-            for i in range(c.head_depth):
-                x = DecoderLayer(c, name=f"layer{i}")(x, tokens)
+
+            class _LayerScan(nn.Module):
+                cfg: HamerConfig
+
+                @nn.compact
+                def __call__(self, carry, _):
+                    x, ctx = carry
+                    x = DecoderLayer(self.cfg, name="layer")(x, ctx)
+                    return (x, ctx), None
+
+            lscan = nn.scan(_LayerScan, variable_axes={"params": 0},
+                            split_rngs={"params": True}, length=c.head_depth)
+            (x, _), _ = lscan(c, name="layers")((x, tokens), None)
             x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
             token_out = x[:, 0].astype(jnp.float32)
 

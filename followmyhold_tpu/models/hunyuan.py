@@ -213,13 +213,42 @@ class HunyuanDiT(nn.Module):
             vec = vec + MlpEmbedder(c.hidden, c.dtype, name="guidance_in")(
                 timestep_embedding(g / 1000.0, c.time_dim).astype(c.dtype))
 
-        for i in range(c.depth_double):
-            x, ctx = DoubleStreamBlock(c.hidden, c.heads, c.mlp_ratio, c.dtype,
-                                       name=f"double{i}")(x, ctx, vec)
+        class _DoubleScan(nn.Module):
+            hidden: int
+            heads: int
+            mlp_ratio: float
+            dtype: jnp.dtype
+
+            @nn.compact
+            def __call__(self, carry, _):
+                x, ctx, vec = carry
+                x, ctx = DoubleStreamBlock(self.hidden, self.heads,
+                                           self.mlp_ratio, self.dtype,
+                                           name="block")(x, ctx, vec)
+                return (x, ctx, vec), None
+
+        class _SingleScan(nn.Module):
+            hidden: int
+            heads: int
+            mlp_ratio: float
+            dtype: jnp.dtype
+
+            @nn.compact
+            def __call__(self, carry, _):
+                s, vec = carry
+                s = SingleStreamBlock(self.hidden, self.heads, self.mlp_ratio,
+                                      self.dtype, name="block")(s, vec)
+                return (s, vec), None
+
+        dscan = nn.scan(_DoubleScan, variable_axes={"params": 0},
+                        split_rngs={"params": True}, length=c.depth_double)
+        (x, ctx, _), _ = dscan(c.hidden, c.heads, c.mlp_ratio, c.dtype,
+                               name="double_blocks")((x, ctx, vec), None)
         s = jnp.concatenate([ctx, x], axis=1)
-        for i in range(c.depth_single):
-            s = SingleStreamBlock(c.hidden, c.heads, c.mlp_ratio, c.dtype,
-                                  name=f"single{i}")(s, vec)
+        sscan = nn.scan(_SingleScan, variable_axes={"params": 0},
+                        split_rngs={"params": True}, length=c.depth_single)
+        (s, _), _ = sscan(c.hidden, c.heads, c.mlp_ratio, c.dtype,
+                          name="single_blocks")((s, vec), None)
         x = s[:, ctx.shape[1]:]
 
         shift, scale = Modulation(c.hidden, 2, c.dtype, name="final_mod")(vec)
@@ -278,8 +307,23 @@ class VAESelfBlock(nn.Module):
         return x + nn.Dense(self.width, dtype=self.dtype, name="fc2")(h)
 
 
+class _VAEScanBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = VAESelfBlock(self.width, self.heads, self.dtype, name="block")(carry)
+        return y, None
+
+
 class ShapeVAEDecoder(nn.Module):
-    """latents [B,L,E] -> feature set [B,L,width] (reference `vae(latents)`)."""
+    """latents [B,L,E] -> feature set [B,L,width] (reference `vae(latents)`).
+
+    Depth is folded with nn.scan (one compiled block; params carry a leading
+    depth axis) — unrolled deep stacks take ~minutes/block to compile over a
+    remote-compile tunnel."""
 
     cfg: ShapeVAEConfig
 
@@ -287,8 +331,9 @@ class ShapeVAEDecoder(nn.Module):
     def __call__(self, latents: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         x = nn.Dense(c.width, dtype=c.dtype, name="post_kl")(latents.astype(c.dtype))
-        for i in range(c.depth):
-            x = VAESelfBlock(c.width, c.heads, c.dtype, name=f"block{i}")(x)
+        scan = nn.scan(_VAEScanBlock, variable_axes={"params": 0},
+                       split_rngs={"params": True}, length=c.depth)
+        x, _ = scan(c.width, c.heads, c.dtype, name="blocks")(x, None)
         return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(c.dtype)
 
 

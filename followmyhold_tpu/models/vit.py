@@ -166,16 +166,33 @@ class ViT(nn.Module):
             tokens.append(x)
             x = jnp.concatenate(tokens, axis=1)
 
-        collected = []
-        want = set(out_layers or [])
-        for i in range(c.depth):
-            x = Block(c, name=f"block{i}")(x)
-            if i in want:
-                collected.append(x[:, n_prefix:])
+        # scan over depth: XLA compiles ONE block (params carry a leading
+        # depth axis; converters stack per-layer torch weights). Compile time
+        # is ~60 s/block over a remote-compile tunnel, so unrolled 32-deep
+        # stacks are not viable.
+        need_ys = out_layers is not None
+
+        class ScanBlock(nn.Module):
+            cfg: ViTConfig
+            collect: bool
+
+            @nn.compact
+            def __call__(self, carry, _):
+                y = Block(self.cfg, name="block")(carry)
+                return y, (y if self.collect else None)
+
+        scan = nn.scan(
+            ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.depth,
+        )
+        x, layer_outs = scan(c, need_ys, name="blocks")(x, None)  # ys [D,B,N,C]
 
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(c.dtype)
 
         if out_layers is not None:
+            collected = [layer_outs[i][:, n_prefix:] for i in out_layers]
             return collected, x[:, n_prefix:], (x[:, 0] if c.use_cls_token else None)
         return x[:, n_prefix:]
 

@@ -136,11 +136,14 @@ def multi_head_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 
+    import os
+
     B, H, N, D = q.shape
     M = k.shape[2]
     use_pallas = (
         _HAS_PALLAS
         and not force_xla
+        and not os.environ.get("FOHO_TPU_FORCE_XLA_ATTN")
         and mask is None
         and _on_tpu()
         and N >= 256

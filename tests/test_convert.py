@@ -63,7 +63,9 @@ def test_convert_vit_complete_and_numerically_used():
     report = convert_vit(sd, params, prefix="", flax_prefix="params")
     assert not report.missing_src, report.missing_src
     assert not report.unused_src, report.unused_src
-    assert len(report.mapped) == len(sd)
+    # per-layer tensors stack into one leading-depth tensor each
+    assert params["params"]["blocks"]["block"]["attn"]["qkv"]["kernel"].shape[0] \
+        == TINY_VIT.depth
 
     after = np.asarray(model.apply(params, x))
     assert np.abs(after - before).max() > 1e-3  # weights actually changed
@@ -79,9 +81,9 @@ def test_convert_vit_complete_and_numerically_used():
     mean = h.mean()
     var = h.var()
     hn = (h - mean) / np.sqrt(var + 1e-6)
-    blk = params["params"]["block0"]
-    hn = hn * blk["norm1"]["scale"] + blk["norm1"]["bias"]
-    qkv_manual = hn @ blk["attn"]["qkv"]["kernel"] + blk["attn"]["qkv"]["bias"]
+    blk = params["params"]["blocks"]["block"]  # stacked [depth, ...]
+    hn = hn * blk["norm1"]["scale"][0] + blk["norm1"]["bias"][0]
+    qkv_manual = hn @ blk["attn"]["qkv"]["kernel"][0] + blk["attn"]["qkv"]["bias"][0]
     qkv_torch = np.asarray(sd["blocks.0.attn.qkv.weight"]) @ np.asarray(hn) + sd[
         "blocks.0.attn.qkv.bias"]
     np.testing.assert_allclose(np.asarray(qkv_manual), qkv_torch, rtol=1e-4, atol=1e-5)
