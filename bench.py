@@ -94,16 +94,24 @@ def main() -> None:
 
     sched = make_schedule(sigmas=np.linspace(0, 1, cfg.num_inference_steps))
 
-    # --- DiT CFG denoise step ---
+    # --- DiT CFG denoise step (cond passed as an argument: closed-over
+    # device arrays become embedded constants and exhaust HBM) ---
     @jax.jit
-    def dit_step(params, lat):
+    def dit_step(params, lat, cond):
         lat_in = jnp.concatenate([lat, lat], axis=0)
-        eps = dit.apply(params, lat_in, jnp.full((2,), 0.5), cond_cat)
+        eps = dit.apply(params, lat_in, jnp.full((2,), 0.5), cond)
         eps_c, eps_u = jnp.split(eps, 2, axis=0)
         return eps_u + 5.0 * (eps_c - eps_u)
 
-    t_dit = _timeit(dit_step, dit_params, latents)
+    t_dit = _timeit(dit_step, dit_params, latents, cond_cat, iters=10)
     print(f"# dit cfg step: {t_dit*1e3:.1f} ms", file=sys.stderr)
+
+    # free the DiT tree before the optimization-phase measurements: the obj/
+    # joint phases only need the VAE, and 16 GB HBM is tight
+    del dit_params, cond_cat
+    import gc
+
+    gc.collect()
 
     # --- guidance targets at production resolution ---
     mano = synthetic_mano()
@@ -136,14 +144,16 @@ def main() -> None:
 
     noise = jax.random.normal(jax.random.key(4), (1, num_latents, vae_cfg.embed_dim))
 
-    obj_phase = jax.jit(lambda o, n: s1._obj_phase(
-        o, n, latents, vae_params, targets, sched, 10))
-    t_obj = _timeit(obj_phase, init_pose(), noise, iters=2)
+    obj_phase = jax.jit(lambda o, n, lat, vp, tg: s1._obj_phase(
+        o, n, lat, vp, tg, sched, 10))
+    t_obj = _timeit(obj_phase, init_pose(), noise, latents, vae_params, targets,
+                    iters=2)
     print(f"# obj-opt iter: {t_obj*1e3:.1f} ms", file=sys.stderr)
 
-    joint_phase = jax.jit(lambda h, o, n: s1._joint_phase(
-        h, o, n, latents, vae_params, targets, sched, 12, near_end=False))
-    t_joint = _timeit(joint_phase, init_pose(), init_pose(), noise, iters=2)
+    joint_phase = jax.jit(lambda h, o, n, lat, vp, tg: s1._joint_phase(
+        h, o, n, lat, vp, tg, sched, 12, near_end=False))
+    t_joint = _timeit(joint_phase, init_pose(), init_pose(), noise, latents,
+                      vae_params, targets, iters=2)
     print(f"# joint-opt iter: {t_joint*1e3:.1f} ms", file=sys.stderr)
 
     n_joint_steps = cfg.num_inference_steps - (cfg.handopt_start_step + 2)

@@ -34,6 +34,7 @@ winding number against the 1538-face hand mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -470,19 +471,7 @@ class GuidedSampler:
         hand, obj = init_pose(), init_pose()
         cond_cat = jnp.concatenate([cond_main, uncond_main], axis=0)
 
-        @jax.jit
-        def dit_step(lat, i, g_scale):
-            t = sched.timesteps[i] / sched.num_train_timesteps
-            lat_in = jnp.concatenate([lat, lat], axis=0)
-            tt = jnp.full((2,), t, lat.dtype)
-            eps = self.dit.apply(dit_params, lat_in, tt, cond_cat)
-            eps_c, eps_u = jnp.split(eps, 2, axis=0)
-            return eps_u + g_scale * (eps_c - eps_u)
-
-        hand_phase = jax.jit(self._hand_phase)
-        obj_phase = jax.jit(partial(self._obj_phase), static_argnums=())
-        joint_phase = jax.jit(self._joint_phase, static_argnames=("near_end",))
-        advance = jax.jit(lambda i, eps, lat: step(sched, i, eps, lat)[0])
+        hand_phase, obj_phase, joint_phase, advance, dit_step = _jitted_phases(self)
 
         noise_pred = jnp.zeros_like(latents)
         for i in range(n):
@@ -491,7 +480,9 @@ class GuidedSampler:
                 g = cfg.obj_guidance_scale * (1 - i / n)
             else:
                 g = cfg.obj_guidance_scale
-            noise_pred = dit_step(latents, i, g)
+            noise_pred = dit_step(dit_params, cond_cat, latents,
+                                  sched.timesteps[i] / sched.num_train_timesteps,
+                                  g)
 
             if i == cfg.handopt_start_step:
                 hand = hand_phase(hand, targets)
@@ -503,7 +494,7 @@ class GuidedSampler:
                     hand, obj, noise_pred, latents, vae_params, targets, sched,
                     i, near_end=bool(i >= n - 3))
 
-            latents = advance(i, noise_pred, latents)
+            latents = advance(sched, i, noise_pred, latents)
 
         return GuidanceResult(latents=latents, noise_pred=noise_pred,
                               hand=hand, obj=obj)
@@ -528,3 +519,29 @@ class GuidedSampler:
         obj_mesh = _transform_object(mesh, targets, result.obj)
         hand_verts = _transform_hand(targets, result.hand)
         return obj_mesh, hand_verts
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_phases(sampler: "GuidedSampler"):
+    """Per-sampler jitted phase functions (cached so multi-image runs reuse
+    traces; GuidedSampler is a frozen, hashable dataclass). All big arrays
+    (params, cond, targets, schedule) are ARGUMENTS, never closures — closed-
+    over device arrays become embedded constants (host roundtrip + HBM copy).
+    """
+    hand_phase = jax.jit(sampler._hand_phase)
+    obj_phase = jax.jit(sampler._obj_phase)
+    joint_phase = jax.jit(sampler._joint_phase, static_argnames=("near_end",))
+
+    @jax.jit
+    def advance(sched, i, eps, lat):
+        return step(sched, i, eps, lat)[0]
+
+    @jax.jit
+    def dit_step(dp, cond, lat, t, g_scale):
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        tt = jnp.full((2,), t, lat.dtype)
+        eps = sampler.dit.apply(dp, lat_in, tt, cond)
+        eps_c, eps_u = jnp.split(eps, 2, axis=0)
+        return eps_u + g_scale * (eps_c - eps_u)
+
+    return hand_phase, obj_phase, joint_phase, advance, dit_step

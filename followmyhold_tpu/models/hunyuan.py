@@ -331,7 +331,10 @@ class ShapeVAEDecoder(nn.Module):
     def __call__(self, latents: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         x = nn.Dense(c.width, dtype=c.dtype, name="post_kl")(latents.astype(c.dtype))
-        scan = nn.scan(_VAEScanBlock, variable_axes={"params": 0},
+        # remat each block: the guidance loop differentiates through this
+        # decoder every optimizer iteration; storing 16 layers of residuals
+        # at [B,3072,1024] would dominate HBM
+        scan = nn.scan(nn.remat(_VAEScanBlock), variable_axes={"params": 0},
                        split_rngs={"params": True}, length=c.depth)
         x, _ = scan(c.width, c.heads, c.dtype, name="blocks")(x, None)
         return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(c.dtype)
@@ -407,8 +410,9 @@ def vae_query_logits(
     pad = (-N) % chunk
     qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
     qc = qp.reshape(B, -1, chunk, 3).transpose(1, 0, 2, 3)  # [n_chunks,B,chunk,3]
-    logits = jax.lax.map(
-        lambda q: vae.apply(params, q, feats, method=ShapeVAE.geo_decoder), qc)
+    geo_fn = jax.checkpoint(
+        lambda q, f: vae.apply(params, q, f, method=ShapeVAE.geo_decoder))
+    logits = jax.lax.map(lambda q: geo_fn(q, feats), qc)
     logits = logits.transpose(1, 0, 2).reshape(B, -1)
     return logits[:, :N]
 
