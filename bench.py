@@ -32,8 +32,11 @@ def _timeit(fn, *args, iters=3, warmup=1):
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(iters):
+        # block each call: over the remote-TPU tunnel, pipelined dispatches
+        # can report ready before the device work lands (observed 0.1 ms for
+        # a 300 ms DiT step when only the last output was awaited)
         out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     return (time.time() - t0) / iters
 
 

@@ -237,7 +237,7 @@ class GuidedSampler:
     max_faces: int = 49152
     vae_chunk: int = 8192
     raster_faces_per_tile: int = 4096
-    hand_faces_per_tile: int = 2048   # hand-only renders (1538 faces) need less
+    hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less
     final_octree_resolution: Optional[int] = None  # None -> config value
 
     # ------------------------------------------------------------------ #
@@ -503,19 +503,41 @@ class GuidedSampler:
         self, vae_params, result: GuidanceResult, targets: GuidanceTargets,
         octree_resolution: Optional[int] = None,
         max_verts: Optional[int] = None, max_faces: Optional[int] = None,
+        device_res_limit: int = 256,
     ) -> Tuple[PaddedMesh, jnp.ndarray]:
         """Final decode (reference does 384^3 at pipelines.py:1624-1641) and
-        the transformed meshes in moge space."""
+        the transformed meshes in moge space.
+
+        Up to device_res_limit the surface is extracted on device (static
+        capacities); above it, the SDF is still decoded on device in chunks
+        but the one-off extraction runs on host with exact shapes
+        (ops/surface.marching_tets_host) — the 385^3 edge tables would not
+        fit static buffers.
+        """
         res = octree_resolution or self.config.octree_resolution
         xyz, _, _ = generate_dense_grid_points([-self.box_v] * 3,
                                                [self.box_v] * 3, res)
         logits = vae_query_logits(self.vae, vae_params, result.latents,
                                   xyz[None], self.vae_chunk)[0]
         sdf = -logits
-        mesh = marching_tets(
-            sdf, jnp.asarray([-self.box_v] * 3), jnp.asarray([self.box_v] * 3),
-            res, max_verts=max_verts or self.max_verts,
-            max_faces=max_faces or self.max_faces)
+        if res <= device_res_limit:
+            mesh = marching_tets(
+                sdf, jnp.asarray([-self.box_v] * 3), jnp.asarray([self.box_v] * 3),
+                res, max_verts=max_verts or self.max_verts,
+                max_faces=max_faces or self.max_faces)
+        else:
+            import numpy as np
+
+            from followmyhold_tpu.ops.surface import marching_tets_host
+
+            hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
+                                        [self.box_v] * 3, res)
+            cap_v = max(len(hv), 1)
+            cap_f = max(len(hf), 1)
+            verts = jnp.asarray(hv if len(hv) else np.zeros((1, 3), np.float32))
+            faces = jnp.asarray(hf if len(hf) else np.zeros((1, 3), np.int32))
+            mesh = PaddedMesh(verts=verts, faces=faces,
+                              vert_mask=jnp.ones(cap_v), face_mask=jnp.ones(cap_f))
         obj_mesh = _transform_object(mesh, targets, result.obj)
         hand_verts = _transform_hand(targets, result.hand)
         return obj_mesh, hand_verts

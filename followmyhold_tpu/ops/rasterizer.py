@@ -115,7 +115,7 @@ def rasterize(
             jnp.full((tile, tile), big),           # best z
             jnp.zeros((tile, tile, 3)),            # best normal
             jnp.full((tile, tile), -1, jnp.int32),  # best face
-            jnp.zeros((tile, tile)),               # accumulated log(1-cov)
+            jnp.ones((tile, tile)),                # visibility product (1-cov)
         )
 
         face_ids_c = face_ids.reshape(-1, chunk)
@@ -166,46 +166,50 @@ def rasterize(
             usable = ok[:, None, None] & ~degenerate[:, None, None]
             hit = inside & usable & (zpix > camera.znear) & (zpix < camera.zfar)
 
-            # depth test within the chunk, then against running best
+            # depth test within the chunk, then against running best.
+            # Winner selection via a zc==zmin mask + multiply-add instead of
+            # argmin/take_along_axis: gathers over the chunk axis are slow on
+            # the VPU, masked FMAs are its native diet.
             zc = jnp.where(hit, zpix, big)            # [C,t,t]
-            kbest = jnp.argmin(zc, axis=0)            # [t,t]
-            zmin = jnp.take_along_axis(zc, kbest[None], axis=0)[0]
+            zmin = jnp.min(zc, axis=0)                # [t,t]
+            winner = (zc == zmin[None]).astype(zpix.dtype) * hit
+            # break ties (identical z) by normalizing the winner weights
+            wsum = jnp.maximum(jnp.sum(winner, axis=0), 1.0)
+            winner = winner / wsum[None]
 
-            take = zmin < best_z
             npix = (
                 w0[..., None] * tn[:, 0][:, None, None, :]
                 + w1[..., None] * tn[:, 1][:, None, None, :]
                 + w2[..., None] * tn[:, 2][:, None, None, :]
             )                                          # [C,t,t,3]
-            nsel = jnp.take_along_axis(
-                npix, kbest[None, ..., None], axis=0
-            )[0]                                       # [t,t,3]
-            fsel = jnp.take_along_axis(
-                ids[:, None, None] * jnp.ones((1, tile, tile), jnp.int32),
-                kbest[None], axis=0,
-            )[0]
+            nsel = jnp.sum(npix * winner[..., None], axis=0)
+            fsel = jnp.sum(ids[:, None, None] * winner, axis=0).astype(jnp.int32)
 
+            take = zmin < best_z
             best_n = jnp.where(take[..., None], nsel, best_n)
             best_f = jnp.where(take, fsel, best_f)
             best_z = jnp.where(take, zmin, best_z)
 
-            # soft coverage for the silhouette (order-independent product)
-            cov = jax.nn.sigmoid(d_signed * inv_sigma)
+            # soft coverage for the silhouette: a linear smoothstep instead
+            # of sigmoid, and a multiplicative visibility product instead of
+            # log1p/exp — per-face-pixel transcendentals dominate VPU time at
+            # faces_per_tile x tile^2 scale.
+            cov = jnp.clip(d_signed * (0.25 * inv_sigma) + 0.5, 0.0, 1.0)
             cov = jnp.where(usable, cov, 0.0)
-            log_vis = log_vis + jnp.sum(jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)), axis=0)
+            vis = log_vis * jnp.prod(1.0 - cov, axis=0)
 
-            return (best_z, best_n, best_f, log_vis), None
+            return (best_z, best_n, best_f, vis), None
 
         # remat the chunk body: the backward pass otherwise stores every
         # chunk's [C, tile, tile] edge/bary intermediates (O(F * pixels) HBM —
         # observed 120+ GB at production shapes); recomputing them is cheap
         body_ckpt = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
-        (best_z, best_n, best_f, log_vis), _ = jax.lax.scan(body_ckpt, init, face_ids_c)
+        (best_z, best_n, best_f, vis), _ = jax.lax.scan(body_ckpt, init, face_ids_c)
         # Interior pixels of a closed mesh sit near shared edges where each
         # face's soft coverage is ~0.5; the hard hit-mask (no gradient)
         # saturates them to 1 while the soft product keeps boundary gradients.
         # Matches the reference's near-hard blending (sigma=1e-8, run.py:92).
-        alpha_soft = 1.0 - jnp.exp(log_vis)
+        alpha_soft = 1.0 - vis
         hard = jax.lax.stop_gradient((best_f >= 0).astype(alpha_soft.dtype))
         alpha = jnp.maximum(hard, alpha_soft)
         zb = jnp.where(best_z >= big, -1.0, best_z)

@@ -33,23 +33,29 @@ def prefetch_map(
     results: dict[int, object] = {}
     cond = threading.Condition()
     next_in = {"i": 0}
-    SENTINEL_ERR = object()
+    next_out = {"i": 0}
+    window = prefetch + max(1, num_workers)
 
     def worker():
         while True:
             with cond:
-                i = next_in["i"]
-                if i >= len(items):
-                    return
-                next_in["i"] = i + 1
+                # window-based backpressure on TAKING work (not on storing
+                # results): storing must never block, or the worker holding
+                # the item the consumer waits for can deadlock behind
+                # out-of-order completions filling the buffer.
+                while True:
+                    i = next_in["i"]
+                    if i >= len(items):
+                        return
+                    if i < next_out["i"] + window:
+                        next_in["i"] = i + 1
+                        break
+                    cond.wait(timeout=0.5)
             try:
                 out = (False, fn(items[i]))
             except Exception as e:  # noqa: BLE001
                 out = (True, e)
             with cond:
-                # bound memory: wait until the consumer catches up
-                while len(results) >= prefetch + num_workers:
-                    cond.wait(timeout=0.5)
                 results[i] = out
                 cond.notify_all()
 
@@ -63,6 +69,7 @@ def prefetch_map(
             while i not in results:
                 cond.wait(timeout=0.5)
             is_err, val = results.pop(i)
+            next_out["i"] = i + 1
             cond.notify_all()
         if is_err:
             raise val
