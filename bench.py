@@ -181,4 +181,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # one retry: the remote-compile tunnel occasionally drops a compile
+    # ("Broken pipe"); the persistent cache makes the retry cheap
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench attempt 1 failed ({e}); retrying", file=sys.stderr)
+        main()

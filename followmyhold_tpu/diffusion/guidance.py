@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
