@@ -38,6 +38,12 @@ def optimization_config() -> OptimizationConfig:
     return OptimizationConfig()
 
 
+def hunyuan_octree_resolution() -> int:
+    """Stage-5 export resolution: reference 384 (geometry/hunyuan.py:70);
+    tiny CPU profile shrinks it like every other knob."""
+    return 24 if is_tiny() else 384
+
+
 def guidance_mesh_caps() -> dict:
     if is_tiny():
         return dict(max_verts=2048, max_faces=4096, vae_chunk=512,

@@ -166,19 +166,25 @@ def _join_meshes(a_verts, a_faces, a_vmask, a_fmask, b: PaddedMesh) -> PaddedMes
     )
 
 
-def _intersection_count(hand_verts, hand_faces, obj: PaddedMesh,
-                        obj_sdf_grid, xyz_bbox, octree_res,
+def _intersection_count(hand_verts, hand_faces, obj_hun: PaddedMesh,
+                        obj_verts_posed, obj_sdf_grid, xyz_bbox, octree_res,
                         targets: GuidanceTargets, obj_pose: PoseParams,
                         sample_res: int = 32) -> jnp.ndarray:
     """HO-NeRF intersection count / 1000 (pipelines.py:231-239), gradient-free
     by construction in the reference too. Shared grid spans the joint bbox
-    (utilz/kaolin_sdf_ops.py:131-160)."""
+    (utilz/kaolin_sdf_ops.py:131-160).
+
+    obj_hun is the PRE-pose hunyuan-space mesh; obj_verts_posed the posed
+    moge-space verts. The pose inverse must pivot on the bbox center of the
+    pre-pose moge verts — the same center _transform_object used — not on the
+    posed verts' center.
+    """
     big = jnp.asarray(jnp.finfo(jnp.float32).max)
     hv_lo = hand_verts.min(axis=0)
     hv_hi = hand_verts.max(axis=0)
-    om = obj.vert_mask[:, None].astype(bool)
-    ov_lo = jnp.where(om, obj.verts, big).min(axis=0)
-    ov_hi = jnp.where(om, obj.verts, -big).max(axis=0)
+    om = obj_hun.vert_mask[:, None].astype(bool)
+    ov_lo = jnp.where(om, obj_verts_posed, big).min(axis=0)
+    ov_hi = jnp.where(om, obj_verts_posed, -big).max(axis=0)
     lo = jnp.minimum(hv_lo, ov_lo)
     hi = jnp.maximum(hv_hi, ov_hi)
     pts = generate_grid_jax(lo, hi, sample_res)          # [P,3] moge space
@@ -190,7 +196,7 @@ def _intersection_count(hand_verts, hand_faces, obj: PaddedMesh,
     # object occupancy: invert similarity transform, trilinear-sample the
     # already-decoded hunyuan-space SDF grid
     rt = rt_from_quat_trans(obj_pose.quat, obj_pose.trans)
-    moge_v = transform_points(obj.verts, targets.t_h2m)
+    moge_v = transform_points(obj_hun.verts, targets.t_h2m)  # pre-pose moge
     center = jnp.where(om, moge_v, big).min(axis=0)
     center = (center + jnp.where(om, moge_v, -big).max(axis=0)) / 2.0
     # p = s*R(q - c) + c + t  =>  q = R^T((p - c - t)/s) + c
@@ -305,10 +311,10 @@ class GuidedSampler:
         lrs = cfg.obj_2half_lrs
         tx = optax.multi_transform(
             {
-                "scale": optax.adamw(lrs.scale, eps=1e-4),
-                "trans": optax.adamw(lrs.trans, eps=1e-4),
-                "quat": optax.adamw(lrs.rot, eps=1e-4),
-                "noise": optax.adamw(cfg.noise_obj_lr1, eps=1e-4),
+                "scale": optax.adamw(lrs.scale, eps=1e-4, weight_decay=0.01),
+                "trans": optax.adamw(lrs.trans, eps=1e-4, weight_decay=0.01),
+                "quat": optax.adamw(lrs.rot, eps=1e-4, weight_decay=0.01),
+                "noise": optax.adamw(cfg.noise_obj_lr1, eps=1e-4, weight_decay=0.01),
             },
             {"pose": PoseParams(scale="scale", trans="trans", quat="quat"),
              "noise": "noise"},
@@ -360,13 +366,13 @@ class GuidedSampler:
         h_lrs, o_lrs = cfg.phase2_hand_lrs, cfg.obj_lrs
         tx = optax.multi_transform(
             {
-                "h_scale": optax.adamw(h_lrs.scale, eps=1e-4),
-                "h_trans": optax.adamw(h_lrs.trans, eps=1e-4),
-                "h_quat": optax.adamw(h_lrs.rot, eps=1e-4),
-                "o_scale": optax.adamw(o_lrs.scale, eps=1e-4),
-                "o_trans": optax.adamw(o_lrs.trans, eps=1e-4),
-                "o_quat": optax.adamw(o_lrs.rot, eps=1e-4),
-                "noise": optax.adamw(cfg.noise_obj_lr2, eps=1e-4),
+                "h_scale": optax.adamw(h_lrs.scale, eps=1e-4, weight_decay=0.01),
+                "h_trans": optax.adamw(h_lrs.trans, eps=1e-4, weight_decay=0.01),
+                "h_quat": optax.adamw(h_lrs.rot, eps=1e-4, weight_decay=0.01),
+                "o_scale": optax.adamw(o_lrs.scale, eps=1e-4, weight_decay=0.01),
+                "o_trans": optax.adamw(o_lrs.trans, eps=1e-4, weight_decay=0.01),
+                "o_quat": optax.adamw(o_lrs.rot, eps=1e-4, weight_decay=0.01),
+                "noise": optax.adamw(cfg.noise_obj_lr2, eps=1e-4, weight_decay=0.01),
             },
             {
                 "hand": PoseParams(scale="h_scale", trans="h_trans", quat="h_quat"),
@@ -408,8 +414,10 @@ class GuidedSampler:
             if cfg.use_intersection_loss:
                 inter = _intersection_count(
                     jax.lax.stop_gradient(hand_verts), targets.mano_faces,
-                    jax.tree_util.tree_map(jax.lax.stop_gradient, tmesh),
-                    jax.lax.stop_gradient(sdf), bbox, res, targets, p["obj"])
+                    jax.tree_util.tree_map(jax.lax.stop_gradient, mesh),
+                    jax.lax.stop_gradient(tmesh.verts),
+                    jax.lax.stop_gradient(sdf), bbox, res, targets,
+                    jax.tree_util.tree_map(jax.lax.stop_gradient, p["obj"]))
             else:
                 inter = jnp.asarray(0.0)
             w_inter = jnp.where(
@@ -520,10 +528,14 @@ class GuidedSampler:
                                   xyz[None], self.vae_chunk)[0]
         sdf = -logits
         if res <= device_res_limit:
+            mv = max_verts or self.max_verts
+            mf = max_faces or self.max_faces
             mesh = marching_tets(
                 sdf, jnp.asarray([-self.box_v] * 3), jnp.asarray([self.box_v] * 3),
-                res, max_verts=max_verts or self.max_verts,
-                max_faces=max_faces or self.max_faces)
+                res, max_verts=mv, max_faces=mf)
+            from followmyhold_tpu.diffusion.pipeline import check_surface_capacity
+
+            check_surface_capacity(sdf, res, mv, mf)
         else:
             import numpy as np
 

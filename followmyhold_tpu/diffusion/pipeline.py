@@ -67,16 +67,52 @@ def latents_to_mesh(
     max_verts: int = 24576,
     max_faces: int = 49152,
     chunk: int = 8192,
+    device_res_limit: int = 256,
 ) -> PaddedMesh:
     """VAE grid decode -> negated logits -> surface (latent2sdf semantics,
-    pipelines.py:292-338: sdf = -logits so inside < 0)."""
+    pipelines.py:292-338: sdf = -logits so inside < 0).
+
+    Above device_res_limit (reference exports at 384^3, hunyuan.py:70) the SDF
+    is still decoded on device in chunks but the one-off extraction runs on
+    host with exact shapes — 385^3 static edge buffers would not fit HBM.
+    On the device path, true pre-truncation counts are checked so capacity
+    overruns warn instead of silently emitting degenerate faces."""
     xyz, grid_size, _ = generate_dense_grid_points(
         [-box_v] * 3, [box_v] * 3, octree_resolution)
     logits = vae_query_logits(vae, vae_params, latents, xyz[None], chunk)[0]
     sdf = -logits
-    return marching_tets(
+    if octree_resolution > device_res_limit:
+        import numpy as np
+
+        from followmyhold_tpu.ops.surface import marching_tets_host
+
+        hv, hf = marching_tets_host(np.asarray(sdf), [-box_v] * 3,
+                                    [box_v] * 3, octree_resolution)
+        verts = jnp.asarray(hv if len(hv) else np.zeros((1, 3), np.float32))
+        faces = jnp.asarray(hf if len(hf) else np.zeros((1, 3), np.int32))
+        ones_v = jnp.ones(verts.shape[0]) * (1.0 if len(hv) else 0.0)
+        ones_f = jnp.ones(faces.shape[0]) * (1.0 if len(hf) else 0.0)
+        return PaddedMesh(verts=verts, faces=faces,
+                          vert_mask=ones_v, face_mask=ones_f)
+    mesh = marching_tets(
         sdf, jnp.asarray([-box_v] * 3), jnp.asarray([box_v] * 3),
         octree_resolution, max_verts=max_verts, max_faces=max_faces)
+    check_surface_capacity(sdf, octree_resolution, max_verts, max_faces)
+    return mesh
+
+
+def check_surface_capacity(sdf: jnp.ndarray, resolution: int,
+                           max_verts: int, max_faces: int) -> None:
+    """Warn when the true surface exceeds the padded-buffer capacities
+    (overflow silently drops geometry otherwise — ADVICE r1)."""
+    from followmyhold_tpu.ops.surface import surface_capacity_counts
+
+    n_active, n_faces = surface_capacity_counts(sdf, resolution)
+    na, nf = int(n_active), int(n_faces)
+    if na > max_verts or nf > max_faces:
+        print(f"WARNING: marching_tets capacity overflow: "
+              f"{na}/{max_verts} verts, {nf}/{max_faces} faces — "
+              f"geometry was truncated; raise max_verts/max_faces")
 
 
 def latent_to_sdf_grid(

@@ -30,6 +30,7 @@ from followmyhold_tpu.utils.mesh_io import write_ply
 from followmyhold_tpu.utils.params import load_or_init
 from followmyhold_tpu.utils.prng import SEED_HUNYUAN, stage_key
 from followmyhold_tpu.geometry.postprocess import (
+    reduce_faces,
     remove_degenerate_faces,
     remove_floaters,
 )
@@ -96,10 +97,14 @@ def run(
     image_dir: str,
     save_dir: str,
     num_inference_steps: int = 30,
-    octree_resolution: int = 384,
+    octree_resolution: int | None = None,
     guidance_scale: float = 7.5,
     project_root: str | None = None,  # CLI parity
 ) -> None:
+    if octree_resolution is None:
+        from followmyhold_tpu.configs.profiles import hunyuan_octree_resolution
+
+        octree_resolution = hunyuan_octree_resolution()
     os.makedirs(save_dir, exist_ok=True)
     (dit, dit_params), (vae, vae_params), (cond, cond_params) = build_models()
 
@@ -130,15 +135,18 @@ def run(
             guidance_scale=guidance_scale)
 
         mesh = latents_to_mesh(vae, vae_params, latents,
-                               octree_resolution=min(octree_resolution, 256),
+                               octree_resolution=octree_resolution,
                                box_v=1.01,
                                max_verts=196608, max_faces=393216)
         nv = int(mesh.num_verts)
         nf = int(mesh.num_faces)
         verts = np.asarray(mesh.verts)[:nv]
         faces = np.asarray(mesh.faces)[:nf]
+        # FloaterRemover -> DegenerateFaceRemover -> FaceReducer, the full
+        # reference post-process chain (geometry/hunyuan.py:96-100)
         verts, faces = remove_floaters(verts, faces)
         verts, faces = remove_degenerate_faces(verts, faces)
+        verts, faces = reduce_faces(verts, faces)
         write_ply(out_path, verts, faces)
         print(f"Exported {out_path} ({len(verts)} verts, {len(faces)} faces)")
 
@@ -149,7 +157,7 @@ def main() -> None:
     parser.add_argument("--save_dir", required=True)
     parser.add_argument("--project_root", default=None)
     parser.add_argument("--num_inference_steps", type=int, default=30)
-    parser.add_argument("--octree_resolution", type=int, default=384)
+    parser.add_argument("--octree_resolution", type=int, default=None)
     args = parser.parse_args()
     run(args.image_dir, args.save_dir, args.num_inference_steps,
         args.octree_resolution, project_root=args.project_root)

@@ -102,7 +102,8 @@ def run_hunyuan_w_guid(
     cropped_hand_mask_path: str,
     moge_mesh_path: str,
     T_h2m_path: str,
-    hunyuan_hoi_mesh_path: str,
+    hunyuan_hoi_mesh_path: str,  # accepted and unused, matching the reference
+                                 # (pipelines.py:1070 takes it and never reads it)
     save_path_obj: str,
     save_path_hand: str,
     config: OptimizationConfig,
@@ -139,9 +140,11 @@ def run_hunyuan_w_guid(
     result = sampler.run(dit_params, vae_params, cond_main, uncond_main,
                          targets, key, (vae.cfg.num_latents, vae.cfg.embed_dim))
 
+    # 384^3 final decode parity (pipelines.py:1624-1641): resolutions above
+    # export_meshes' device_res_limit take the exact-shape host extraction path
     obj_mesh, hand_verts = sampler.export_meshes(
         vae_params, result, targets,
-        octree_resolution=min(config.final_octree_resolution, 256))
+        octree_resolution=config.final_octree_resolution)
 
     nv, nf = int(obj_mesh.num_verts), int(obj_mesh.num_faces)
     if nv == 0:

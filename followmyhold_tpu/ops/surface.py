@@ -291,6 +291,42 @@ def marching_tets(
     return PaddedMesh(verts=verts, faces=faces, vert_mask=vert_mask, face_mask=face_mask)
 
 
+def surface_capacity_counts(sdf_grid: jnp.ndarray, resolution: int,
+                            iso: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TRUE (pre-truncation) active-edge / face counts of marching_tets.
+
+    jnp.nonzero(size=...) silently drops overflow, and dropped edges collapse
+    faces onto vertex slot 0 — degenerate geometry with no diagnostic. Drivers
+    call this (cheap: two reductions) and compare against max_verts/max_faces
+    to surface capacity overruns (ADVICE r1)."""
+    n = resolution + 1
+    s = sdf_grid.reshape(n, n, n).astype(jnp.float32) - iso
+
+    def corner_val(d, arr):
+        dx, dy, dz = int(d[0]), int(d[1]), int(d[2])
+        out = jnp.pad(arr, ((0, dx), (0, dy), (0, dz)), constant_values=1e9)
+        return out[dx:, dy:, dz:]
+
+    ends = jnp.stack([corner_val(d, s) for d in np.asarray(_DIRS)])
+    active = (jnp.sign(s[None]) != jnp.sign(ends)) & (jnp.abs(ends) < 1e8)
+    n_active = active.sum()
+
+    # faces: per cell, each of 6 tets emits 1 tri for 1-in/3-in cases and 2
+    # tris for 2-in; count via the same tables
+    r = resolution
+    inside = (s < 0).astype(jnp.int32)
+    cs = jnp.stack([inside[c[0]:c[0] + r, c[1]:c[1] + r, c[2]:c[2] + r]
+                    for c in np.asarray(_CORNERS)])          # [8,r,r,r]
+    tri_counts = np.count_nonzero(np.asarray(_TRI_TABLE)[:, :, :, 0] >= 0,
+                                  axis=2)                     # [6,16]
+    n_faces = jnp.zeros((), jnp.int32)
+    for tnum in range(6):
+        tet = _TETS[tnum]
+        case = (cs[tet[0]] + 2 * cs[tet[1]] + 4 * cs[tet[2]] + 8 * cs[tet[3]])
+        n_faces = n_faces + jnp.asarray(tri_counts[tnum])[case].sum()
+    return n_active, n_faces
+
+
 def marching_tets_host(
     sdf_grid: np.ndarray,
     bbox_min,
@@ -298,68 +334,68 @@ def marching_tets_host(
     resolution: int,
     iso: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side (numpy) extraction with exact (dynamic) shapes.
+    """Host-side (numpy, fully vectorized) extraction with exact shapes.
 
     Used for the final high-resolution decode/export (reference does 384^3 at
-    pipelines.py:1624-1641), where differentiability is not needed.
+    pipelines.py:1624-1641), where differentiability is not needed. Same tet
+    tables as the device path, so windings/geometry agree; vertices are
+    deduplicated through the same global edge keys via np.unique.
     """
     n = resolution + 1
-    s = np.asarray(sdf_grid, np.float64).reshape(n, n, n) - iso
+    s = np.asarray(sdf_grid, np.float32).reshape(n, n, n) - iso
     bbox_min = np.asarray(bbox_min, np.float64)
     bbox_max = np.asarray(bbox_max, np.float64)
     step = (bbox_max - bbox_min) / resolution
 
-    # active edges
-    vert_pos = {}
-    vert_list = []
-
-    def edge_key(g1, dcode):
-        return (int(g1[0]) * n * n + int(g1[1]) * n + int(g1[2])) * 7 + int(dcode)
-
     corners = np.asarray(_CORNERS)
     edge_corners = np.asarray(_EDGE_CORNERS)
     tri_table = np.asarray(_TRI_TABLE)
-    bit2dir = np.zeros(8, np.int32)
-    for idx, d in enumerate(np.asarray(_DIRS)):
+    dirs = np.asarray(_DIRS)
+    bit2dir = np.zeros(8, np.int64)
+    for idx, d in enumerate(dirs):
         bit2dir[d[0] * 4 + d[1] * 2 + d[2]] = idx
 
-    faces_out = []
     inside = s < 0
-    # only visit cells containing a sign change (host loop over sparse set)
+    # visit only cells containing a sign change
     cs = np.lib.stride_tricks.sliding_window_view(inside, (2, 2, 2))
     mixed = np.logical_and(cs.any(axis=(3, 4, 5)), ~cs.all(axis=(3, 4, 5)))
-    cells = np.argwhere(mixed)
-
-    for (i, j, k) in cells:
-        origin = np.array([i, j, k])
-        cvals = np.array([s[i + c[0], j + c[1], k + c[2]] for c in corners])
-        ins = (cvals < 0).astype(int)
-        for tnum in range(6):
-            tet = _TETS[tnum]
-            case = ins[tet[0]] + 2 * ins[tet[1]] + 4 * ins[tet[2]] + 8 * ins[tet[3]]
-            for tri in tri_table[tnum, case]:
-                if tri[0] < 0:
-                    continue
-                fidx = []
-                for e in tri:
-                    c1, c2 = edge_corners[tnum, e]
-                    o1, o2 = corners[c1], corners[c2]
-                    lo = np.minimum(o1, o2) + origin
-                    d = np.abs(o2 - o1)
-                    key = edge_key(lo, bit2dir[d[0] * 4 + d[1] * 2 + d[2]])
-                    if key not in vert_pos:
-                        g1 = lo
-                        g2 = lo + d
-                        s1 = s[tuple(g1)]
-                        s2 = s[tuple(g2)]
-                        t = s1 / (s1 - s2) if abs(s1 - s2) > 1e-300 else 0.5
-                        p = bbox_min + (g1 + t * d) * step
-                        vert_pos[key] = len(vert_list)
-                        vert_list.append(p)
-                    fidx.append(vert_pos[key])
-                faces_out.append(fidx)
-
-    if not vert_list:
+    cells = np.argwhere(mixed).astype(np.int64)              # [C,3]
+    if len(cells) == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-    return (np.asarray(vert_list, np.float32),
-            np.asarray(faces_out, np.int32).reshape(-1, 3))
+
+    cidx = cells[:, None, :] + corners[None]                 # [C,8,3]
+    ins = inside[cidx[..., 0], cidx[..., 1], cidx[..., 2]].astype(np.int64)
+
+    face_keys = []
+    for tnum in range(6):
+        tet = _TETS[tnum]
+        case = (ins[:, tet[0]] + 2 * ins[:, tet[1]]
+                + 4 * ins[:, tet[2]] + 8 * ins[:, tet[3]])    # [C]
+        tris = tri_table[tnum][case]                          # [C,2,3]
+        valid = tris[:, :, 0] >= 0                            # [C,2]
+        safe = np.maximum(tris, 0)
+        ecs = edge_corners[tnum][safe]                        # [C,2,3,2]
+        ca = corners[ecs[..., 0]]                             # [C,2,3,3]
+        cb = corners[ecs[..., 1]]
+        lo = np.minimum(ca, cb) + cells[:, None, None, :]
+        d = np.abs(cb - ca)
+        dir_idx = bit2dir[d[..., 0] * 4 + d[..., 1] * 2 + d[..., 2]]
+        key = (lo[..., 0] * n * n + lo[..., 1] * n + lo[..., 2]) * 7 + dir_idx
+        face_keys.append(key[valid])                          # [Nv,3]
+
+    fk = np.concatenate(face_keys, axis=0)                    # [F,3] edge keys
+    uniq, inv = np.unique(fk, return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+
+    vid = uniq // 7
+    dc = uniq % 7
+    g1 = np.stack([vid // (n * n), (vid // n) % n, vid % n], axis=-1)
+    d = dirs[dc].astype(np.int64)
+    g2 = g1 + d
+    s1 = s[g1[:, 0], g1[:, 1], g1[:, 2]].astype(np.float64)
+    s2 = s[g2[:, 0], g2[:, 1], g2[:, 2]].astype(np.float64)
+    denom = s1 - s2
+    t = np.where(np.abs(denom) > 1e-300, s1 / np.where(denom == 0, 1.0, denom), 0.5)
+    t = np.clip(t, 0.0, 1.0)
+    verts = bbox_min + (g1 + t[:, None] * d) * step
+    return verts.astype(np.float32), faces
