@@ -87,14 +87,21 @@ def shard_model_params(params, mesh: Mesh, tp_axis: str = "tp"):
 
     def spec_for(path, leaf):
         names = [getattr(k, "key", str(k)) for k in path]
-        is_kernel = names and names[-1] == "kernel" and leaf.ndim == 2
+        # nn.scan depth-folding gives every block kernel a leading depth axis
+        # (ndim 3: [depth, in, out]); plain kernels are [in, out]. Both shard:
+        # column-parallel on the OUT dim (last), row-parallel on the IN dim.
+        is_kernel = names and names[-1] == "kernel" and leaf.ndim in (2, 3)
         if not is_kernel:
             return P()
         parent = names[-2] if len(names) >= 2 else ""
+        lead = (None,) * (leaf.ndim - 2)
+        tp_size = mesh.shape[tp_axis]
         if any(parent == n or parent.endswith(n) for n in col_names):
-            return P(None, tp_axis)
+            if leaf.shape[-1] % tp_size == 0:
+                return P(*lead, None, tp_axis)
         if any(parent == n or parent.endswith(n) for n in row_names):
-            return P(tp_axis, None)
+            if leaf.shape[-2] % tp_size == 0:
+                return P(*lead, tp_axis, None)
         return P()
 
     return jax.tree_util.tree_map_with_path(

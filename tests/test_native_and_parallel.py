@@ -119,3 +119,41 @@ def test_sharded_matmul_executes():
 
     out = f(x, w)
     np.testing.assert_allclose(np.asarray(out), 16.0)
+
+
+def test_scanned_block_kernels_carry_tp():
+    """nn.scan depth-folding gives block kernels a leading depth axis (ndim 3);
+    tp must still shard them (regression: r1 spec_for matched only ndim==2,
+    silently replicating every transformer block)."""
+    mesh = make_mesh("dp=4,tp=2")
+
+    from followmyhold_tpu.models.hunyuan import DIT_TINY, HunyuanDiT
+
+    dit = HunyuanDiT(DIT_TINY)
+    lat = jnp.zeros((1, 8, DIT_TINY.in_channels))
+    cond = jnp.zeros((1, 4, DIT_TINY.context_dim))
+    params = dit.init(jax.random.key(0), lat, jnp.zeros(1), cond)
+    sharded = shard_model_params(params, mesh)
+
+    tp_specs = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(sharded):
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        if "tp" in str(leaf.sharding.spec):
+            tp_specs[name] = (leaf.ndim, leaf.sharding.spec)
+
+    # at least one scanned (ndim-3) block kernel must actually carry tp
+    scanned = {n: s for n, (nd, s) in tp_specs.items() if nd == 3}
+    assert scanned, f"no scanned block kernel sharded over tp; tp-sharded: {tp_specs}"
+    # column-parallel scanned kernels shard the LAST dim, row-parallel the middle
+    for name, (nd, spec) in tp_specs.items():
+        if nd == 3:
+            assert spec in (
+                jax.sharding.PartitionSpec(None, None, "tp"),
+                jax.sharding.PartitionSpec(None, "tp", None),
+            ), (name, spec)
+
+    # the sharded model still runs and matches the replicated one
+    out_ref = dit.apply(params, lat, jnp.zeros(1), cond)
+    out_tp = jax.jit(dit.apply)(sharded, lat, jnp.zeros(1), cond)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_tp),
+                               rtol=2e-4, atol=2e-4)
