@@ -7,6 +7,17 @@ composes the reference's step counts (guid_config.py: 20 denoise steps, 200
 hand + 100 obj + 9x50 joint optimization iterations) into one end-to-end
 estimate.
 
+Robustness (round-1 postmortem):
+- every measurement syncs via a device->host transfer: over the remote-TPU
+  tunnel, block_until_ready() returned before device work landed (a 300 ms
+  DiT step "measured" 0.1 ms);
+- every section is individually fallible; a failed section records null and
+  the JSON line is ALWAYS printed (round 1 recorded only a traceback);
+- FOHO_BENCH_ONLY=dit,hand,obj,joint,breakdown selects sections.
+
+stderr carries the per-component breakdown (VAE decode fwd/grad, marching
+tets grad, rasterizer fwd/grad) used to target kernel work.
+
 Prints ONE JSON line:
   {"metric": "guidance_sec_per_image_est", "value": S, "unit": "s/image",
    "vs_baseline": 60 / S}
@@ -20,24 +31,49 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+RESULTS: dict = {}
+
+
+def _sync(out):
+    """Force completion: D2H copy of one (small) output leaf. The remote
+    runtime can only serve the copy after the producing executable finishes,
+    unlike block_until_ready which has been observed to return early."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    small = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
+    np.asarray(small)
+
 
 def _timeit(fn, *args, iters=3, warmup=1):
-    import jax
-
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(fn(*args))
     t0 = time.time()
     for _ in range(iters):
-        # block each call: over the remote-TPU tunnel, pipelined dispatches
-        # can report ready before the device work lands (observed 0.1 ms for
-        # a 300 ms DiT step when only the last output was awaited)
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     return (time.time() - t0) / iters
+
+
+def _section(name):
+    only = os.environ.get("FOHO_BENCH_ONLY", "")
+    return (not only) or (name in only.split(","))
+
+
+def _run_section(name, fn):
+    if not _section(name):
+        return
+    try:
+        t0 = time.time()
+        fn()
+        print(f"# section {name} done in {time.time()-t0:.0f}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        print(f"# section {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
 
 
 def main() -> None:
@@ -61,9 +97,11 @@ def main() -> None:
         HunyuanDiT,
         ShapeVAE,
         ShapeVAEConfig,
+        vae_query_logits,
     )
     from followmyhold_tpu.models.mano import synthetic_mano
     from followmyhold_tpu.ops.camera import GuidanceCamera
+    from followmyhold_tpu.utils.params import fast_init
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -84,39 +122,42 @@ def main() -> None:
                             max_verts=24576, max_faces=49152, vae_chunk=8192,
                             raster_faces_per_tile=4096)
 
-    from followmyhold_tpu.utils.params import fast_init
-
     key = jax.random.key(0)
     latents = jax.random.normal(key, (1, num_latents, vae_cfg.embed_dim))
-    cond_cat = jax.random.normal(jax.random.key(1), (2, cond_tokens, cond_dim),
-                                 jnp.bfloat16)
-    print("# init dit params (eval_shape)...", file=sys.stderr)
-    dit_params = fast_init(dit.init, latents, jnp.zeros(1), cond_cat[:1])
     print("# init vae params (eval_shape)...", file=sys.stderr)
     vae_params = fast_init(vae.init, latents, jnp.zeros((1, 8, 3)))
 
     sched = make_schedule(sigmas=np.linspace(0, 1, cfg.num_inference_steps))
 
-    # --- DiT CFG denoise step (cond passed as an argument: closed-over
-    # device arrays become embedded constants and exhaust HBM) ---
-    @jax.jit
-    def dit_step(params, lat, cond):
-        lat_in = jnp.concatenate([lat, lat], axis=0)
-        eps = dit.apply(params, lat_in, jnp.full((2,), 0.5), cond)
-        eps_c, eps_u = jnp.split(eps, 2, axis=0)
-        return eps_u + 5.0 * (eps_c - eps_u)
+    # ------------------------------------------------------------------ #
+    # DiT CFG step
+    # ------------------------------------------------------------------ #
+    def bench_dit():
+        cond_cat = jax.random.normal(jax.random.key(1),
+                                     (2, cond_tokens, cond_dim), jnp.bfloat16)
+        print("# init dit params (eval_shape)...", file=sys.stderr)
+        dit_params = fast_init(dit.init, latents, jnp.zeros(1), cond_cat[:1])
 
-    t_dit = _timeit(dit_step, dit_params, latents, cond_cat, iters=10)
-    print(f"# dit cfg step: {t_dit*1e3:.1f} ms", file=sys.stderr)
+        @jax.jit
+        def dit_step(params, lat, cond):
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            eps = dit.apply(params, lat_in, jnp.full((2,), 0.5), cond)
+            eps_c, eps_u = jnp.split(eps, 2, axis=0)
+            return eps_u + 5.0 * (eps_c - eps_u)
 
-    # free the DiT tree before the optimization-phase measurements: the obj/
-    # joint phases only need the VAE, and 16 GB HBM is tight
-    del dit_params, cond_cat
-    import gc
+        RESULTS["dit"] = _timeit(dit_step, dit_params, latents, cond_cat, iters=5)
+        print(f"# dit cfg step: {RESULTS['dit']*1e3:.1f} ms", file=sys.stderr)
+        # free before the optimization phases: 16 GB HBM is tight
+        del dit_params
+        import gc
 
-    gc.collect()
+        gc.collect()
 
-    # --- guidance targets at production resolution ---
+    _run_section("dit", bench_dit)
+
+    # ------------------------------------------------------------------ #
+    # guidance targets at production resolution
+    # ------------------------------------------------------------------ #
     mano = synthetic_mano()
     rng = np.random.default_rng(0)
     mverts = np.asarray(mano.v_template)
@@ -132,8 +173,97 @@ def main() -> None:
         obj_mask=jnp.zeros((H, W), bool).at[200:420, 200:420].set(True),
         t_h2m=jnp.eye(4).at[2, 3].set(-0.6),
     )
+    noise = jax.random.normal(jax.random.key(4), (1, num_latents, vae_cfg.embed_dim))
 
-    # --- per-iteration costs of each optimization phase (single iters) ---
+    # ------------------------------------------------------------------ #
+    # component breakdown (CLAUDE.md r2 priority #2): where does the 2.1 s
+    # obj/joint iteration go — VAE decode grad vs marching-tets grad vs raster
+    # ------------------------------------------------------------------ #
+    def bench_breakdown():
+        from followmyhold_tpu.ops.grid import generate_dense_grid_points
+        from followmyhold_tpu.ops.rasterizer import render_normal_and_disparity
+        from followmyhold_tpu.ops.surface import marching_tets, vertex_normals
+
+        res = cfg.octree_resolution
+        xyz, _, _ = generate_dense_grid_points([-1.1] * 3, [1.1] * 3, res)
+        xyz = jnp.asarray(xyz)
+
+        @jax.jit
+        def vae_fwd(vp, lat):
+            return vae_query_logits(vae, vp, lat, xyz[None], sampler.vae_chunk)
+
+        RESULTS["vae_fwd"] = _timeit(vae_fwd, vae_params, latents, iters=3)
+        print(f"# vae 65^3 decode fwd: {RESULTS['vae_fwd']*1e3:.1f} ms",
+              file=sys.stderr)
+
+        @jax.jit
+        def vae_grad(vp, lat):
+            return jax.grad(lambda l: jnp.sum(
+                vae_query_logits(vae, vp, l, xyz[None], sampler.vae_chunk)))(lat)
+
+        RESULTS["vae_grad"] = _timeit(vae_grad, vae_params, latents, iters=3)
+        print(f"# vae 65^3 decode grad: {RESULTS['vae_grad']*1e3:.1f} ms",
+              file=sys.stderr)
+
+        # an object-scale SDF (sphere) for surface/raster components
+        n = res + 1
+        g = np.linspace(-1.1, 1.1, n, dtype=np.float32)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        sdf_np = (np.sqrt(X**2 + Y**2 + Z**2) - 0.8).reshape(-1)
+        sdf0 = jnp.asarray(sdf_np)
+        lo = jnp.asarray([-1.1] * 3)
+        hi = jnp.asarray([1.1] * 3)
+
+        @jax.jit
+        def mt_fwd(s):
+            return marching_tets(s, lo, hi, res, max_verts=sampler.max_verts,
+                                 max_faces=sampler.max_faces)
+
+        RESULTS["mtets_fwd"] = _timeit(mt_fwd, sdf0, iters=3)
+        print(f"# marching tets fwd: {RESULTS['mtets_fwd']*1e3:.1f} ms",
+              file=sys.stderr)
+
+        @jax.jit
+        def mt_grad(s):
+            def f(s):
+                m = marching_tets(s, lo, hi, res, max_verts=sampler.max_verts,
+                                  max_faces=sampler.max_faces)
+                return jnp.sum(m.verts * m.vert_mask[:, None])
+            return jax.grad(f)(s)
+
+        RESULTS["mtets_grad"] = _timeit(mt_grad, sdf0, iters=3)
+        print(f"# marching tets grad: {RESULTS['mtets_grad']*1e3:.1f} ms",
+              file=sys.stderr)
+
+        mesh0 = jax.jit(mt_fwd)(sdf0)
+        nfaces = int(np.asarray(mesh0.face_mask).sum())
+        print(f"# bench mesh: {int(np.asarray(mesh0.vert_mask).sum())} verts, "
+              f"{nfaces} faces", file=sys.stderr)
+        shift = jnp.asarray([0.0, 0.0, -2.5])
+
+        def raster_loss(verts):
+            vmesh = mesh0._replace(verts=verts + shift)
+            vn = vertex_normals(vmesh)
+            n01, disp01, out = render_normal_and_disparity(
+                cam, vmesh.verts, vmesh.faces, vn, vmesh.face_mask,
+                faces_per_tile=sampler.raster_faces_per_tile)
+            return jnp.sum(n01) + jnp.sum(disp01) + jnp.sum(out.alpha)
+
+        raster_fwd = jax.jit(raster_loss)
+        RESULTS["raster_fwd"] = _timeit(raster_fwd, mesh0.verts, iters=3)
+        print(f"# raster 512^2 fwd: {RESULTS['raster_fwd']*1e3:.1f} ms",
+              file=sys.stderr)
+
+        raster_grad = jax.jit(jax.grad(raster_loss))
+        RESULTS["raster_grad"] = _timeit(raster_grad, mesh0.verts, iters=3)
+        print(f"# raster 512^2 grad: {RESULTS['raster_grad']*1e3:.1f} ms",
+              file=sys.stderr)
+
+    _run_section("breakdown", bench_breakdown)
+
+    # ------------------------------------------------------------------ #
+    # per-iteration costs of each optimization phase
+    # ------------------------------------------------------------------ #
     import dataclasses
 
     one_iter_cfg = dataclasses.replace(
@@ -141,50 +271,79 @@ def main() -> None:
         optimization_steps_joint=1)
     s1 = dataclasses.replace(sampler, config=one_iter_cfg)
 
-    hand_phase = jax.jit(s1._hand_phase)
-    t_hand = _timeit(hand_phase, init_pose(), targets)
-    print(f"# hand-opt iter: {t_hand*1e3:.1f} ms", file=sys.stderr)
+    def bench_hand():
+        hand_phase = jax.jit(s1._hand_phase)
+        RESULTS["hand"] = _timeit(hand_phase, init_pose(), targets)
+        print(f"# hand-opt iter: {RESULTS['hand']*1e3:.1f} ms", file=sys.stderr)
 
-    noise = jax.random.normal(jax.random.key(4), (1, num_latents, vae_cfg.embed_dim))
+    _run_section("hand", bench_hand)
 
-    obj_phase = jax.jit(lambda o, n, lat, vp, tg: s1._obj_phase(
-        o, n, lat, vp, tg, sched, 10))
-    t_obj = _timeit(obj_phase, init_pose(), noise, latents, vae_params, targets,
-                    iters=2)
-    print(f"# obj-opt iter: {t_obj*1e3:.1f} ms", file=sys.stderr)
+    def bench_obj():
+        obj_phase = jax.jit(lambda o, n, lat, vp, tg: s1._obj_phase(
+            o, n, lat, vp, tg, sched, 10))
+        RESULTS["obj"] = _timeit(obj_phase, init_pose(), noise, latents,
+                                 vae_params, targets, iters=2)
+        print(f"# obj-opt iter: {RESULTS['obj']*1e3:.1f} ms", file=sys.stderr)
 
-    joint_phase = jax.jit(lambda h, o, n, lat, vp, tg: s1._joint_phase(
-        h, o, n, lat, vp, tg, sched, 12, near_end=False))
-    t_joint = _timeit(joint_phase, init_pose(), init_pose(), noise, latents,
-                      vae_params, targets, iters=2)
-    print(f"# joint-opt iter: {t_joint*1e3:.1f} ms", file=sys.stderr)
+    _run_section("obj", bench_obj)
 
-    n_joint_steps = cfg.num_inference_steps - (cfg.handopt_start_step + 2)
+    def bench_joint():
+        joint_phase = jax.jit(lambda h, o, n, lat, vp, tg: s1._joint_phase(
+            h, o, n, lat, vp, tg, sched, 12, near_end=False))
+        RESULTS["joint"] = _timeit(joint_phase, init_pose(), init_pose(), noise,
+                                   latents, vae_params, targets, iters=2)
+        print(f"# joint-opt iter: {RESULTS['joint']*1e3:.1f} ms", file=sys.stderr)
+
+    _run_section("joint", bench_joint)
+
+
+def emit() -> None:
+    cfg_steps = dict(n_dit=20, n_hand=200, n_obj=100, n_joint=9 * 50)
+    t_dit = RESULTS.get("dit")
+    t_hand = RESULTS.get("hand")
+    t_obj = RESULTS.get("obj")
+    t_joint = RESULTS.get("joint")
+
+    # fall back to component sums / neighbors for missing phases so a partial
+    # bench still yields a (conservative) estimate
+    if t_joint is None and t_obj is not None:
+        t_joint = t_obj * 1.1
+    if t_obj is None and t_joint is not None:
+        t_obj = t_joint
+    missing = [k for k, v in (("dit", t_dit), ("hand", t_hand),
+                              ("obj", t_obj), ("joint", t_joint)) if v is None]
+    if missing:
+        print(f"# missing sections {missing}; estimate is partial",
+              file=sys.stderr)
+
     est = (
-        cfg.num_inference_steps * t_dit
-        + cfg.optimization_steps_hand * t_hand
-        + cfg.optimization_steps_scale * t_obj
-        + n_joint_steps * cfg.optimization_steps_joint * t_joint
+        cfg_steps["n_dit"] * (t_dit or 0.0)
+        + cfg_steps["n_hand"] * (t_hand or 0.0)
+        + cfg_steps["n_obj"] * (t_obj or 0.0)
+        + cfg_steps["n_joint"] * (t_joint or 0.0)
     )
     print(
-        f"# est = 20*{t_dit:.3f} + 200*{t_hand:.3f} + 100*{t_obj:.3f} "
-        f"+ {n_joint_steps}*50*{t_joint:.3f}",
+        f"# est = 20*{(t_dit or 0):.3f} + 200*{(t_hand or 0):.3f} "
+        f"+ 100*{(t_obj or 0):.3f} + 450*{(t_joint or 0):.3f}",
         file=sys.stderr,
     )
-
-    print(json.dumps({
+    if est <= 0:
+        est = float("inf")
+    payload = {
         "metric": "guidance_sec_per_image_est",
-        "value": round(float(est), 3),
+        "value": round(float(est), 3) if est != float("inf") else None,
         "unit": "s/image",
-        "vs_baseline": round(60.0 / float(est), 3),
-    }))
+        "vs_baseline": round(60.0 / float(est), 3) if est > 0 and est != float("inf") else 0.0,
+        "partial": bool(missing),
+        "components_ms": {k: round(v * 1e3, 1) for k, v in RESULTS.items()},
+    }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    # one retry: the remote-compile tunnel occasionally drops a compile
-    # ("Broken pipe"); the persistent cache makes the retry cheap
     try:
         main()
-    except Exception as e:  # noqa: BLE001
-        print(f"# bench attempt 1 failed ({e}); retrying", file=sys.stderr)
-        main()
+    except Exception as e:  # noqa: BLE001 — emit whatever we measured
+        print(f"# bench aborted: {type(e).__name__}: {e}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+    emit()

@@ -1,4 +1,4 @@
-"""Attention: Pallas TPU flash-attention kernel + XLA fallback.
+"""Attention: Pallas TPU flash-attention (fwd + bwd kernels) + XLA fallback.
 
 Every hot backbone in the stack is a transformer (HaMeR ViT-H 192 tokens,
 DINOv2-L <=3600 tokens for MoGe, Hunyuan3D-2 DiT latent sets + cross
@@ -6,6 +6,12 @@ attention). The reference runs torch SDPA/xformers on CUDA; here the fused
 path is a Pallas online-softmax kernel tiled for the MXU, with a plain-XLA
 fallback used off-TPU (CPU tests) and for tiny sequence lengths where the
 kernel launch overhead dominates.
+
+The BACKWARD is also Pallas (flash-style recompute from the forward's
+logsumexp): the guidance loop differentiates through the ShapeVAE's self- and
+cross-attention on every optimizer step, and the r1 XLA backward materialized
+the full [B,H,N,M] softmax in fp32 — ~1.6 GB of HBM traffic per 8k-query
+geo-decoder chunk, which dominated the 2.1 s obj/joint iteration.
 
 Layout: [B, H, N, D] with D <= 128 (all our models: 64 or 80).
 """
@@ -47,8 +53,13 @@ def attention_xla(
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_pad: int,
-                  block_k: int, scale: float):
+# --------------------------------------------------------------------------- #
+# forward kernel: online softmax; also emits the per-row logsumexp L for the
+# flash backward
+# --------------------------------------------------------------------------- #
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, kv_len: int,
+                  kv_pad: int, block_k: int, scale: float):
     q = q_ref[0].astype(jnp.float32) * scale          # [block_q, D]
     m = jnp.full((q.shape[0], 1), -1e30, jnp.float32)
     l = jnp.zeros((q.shape[0], 1), jnp.float32)
@@ -72,10 +83,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, kv_pad: int,
         return m_new, l_new, acc_new
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    l_ref[0] = (m + jnp.log(l_safe))[:, 0]            # logsumexp per row
 
 
 def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
+    """Returns (out [B,H,N,D], logsumexp [B,H,N]); inputs pre-padded."""
     B, H, N, D = q.shape
     _, _, M, _ = k.shape  # M = padded kv length (multiple of block_k)
     block_q = min(block_q, N)
@@ -86,7 +100,7 @@ def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
     kr = k.reshape(B * H, M, D)
     vr = v.reshape(B * H, M, D)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, kv_len=kv_len, kv_pad=M,
                           block_k=block_k, scale=scale),
         grid=grid,
@@ -98,12 +112,155 @@ def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
             pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, N), jnp.float32),
+        ),
+    )(qr, kr, vr)
+    return out.reshape(B, H, N, D), lse.reshape(B, H, N)
+
+
+# --------------------------------------------------------------------------- #
+# backward kernels: classic two-pass flash backward. Probabilities are
+# recomputed from the forward logsumexp: p = exp(s*scale - L). No [N,M]
+# matrix ever leaves VMEM.
+# --------------------------------------------------------------------------- #
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                         dq_ref, *, kv_len: int, kv_pad: int, block_k: int,
+                         scale: float):
+    q = q_ref[0].astype(jnp.float32)                  # [bq, D]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]                         # [bq, 1]
+    dsum = dsum_ref[0][:, None]                       # [bq, 1] rowsum(do*o)
+
+    acc = jnp.zeros_like(q)
+
+    def body(i, acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum)
+        return acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, kv_pad // block_k, body, acc)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                          dk_ref, dv_ref, *, q_pad: int, block_q: int,
+                          scale: float):
+    # padded q rows carry do=0 and dsum=0, so they contribute nothing — no
+    # row mask needed (analysis: p finite, ds = p*(0-0) = 0, p^T @ 0 = 0)
+    k_blk = k_ref[0].astype(jnp.float32)              # [bk, D]
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    dk = jnp.zeros_like(k_blk)
+    dv = jnp.zeros_like(v_blk)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        dsum = dsum_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)                          # [bq, bk]
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, q_pad // block_q, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
+                           block_q=256, block_k=256):
+    """Inputs pre-padded: q/do/lse/dsum to Np, k/v to Mp."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    block_q = min(block_q, N)
+    block_k = min(block_k, M)
+
+    qr = q.reshape(B * H, N, D)
+    kr = k.reshape(B * H, M, D)
+    vr = v.reshape(B * H, M, D)
+    dor = do.reshape(B * H, N, D)
+    lser = lse.reshape(B * H, N)
+    dsr = dsum.reshape(B * H, N)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, kv_len=kv_len, kv_pad=M,
+                          block_k=block_k, scale=scale),
+        grid=(B * H, N // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
-    )(qr, kr, vr)
-    return out.reshape(B, H, N, D)
+    )(qr, kr, vr, dor, lser, dsr)
 
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, q_pad=N, block_q=block_q,
+                          scale=scale),
+        grid=(B * H, M // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, D), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, M, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, M, D), v.dtype),
+        ),
+    )(kr, vr, qr, dor, lser, dsr)
+
+    return (dq.reshape(B, H, N, D), dk.reshape(B, H, M, D),
+            dv.reshape(B, H, M, D))
+
+
+# --------------------------------------------------------------------------- #
+# dispatch + custom VJP
+# --------------------------------------------------------------------------- #
 
 def _pad_to(x, n, axis):
     pad = n - x.shape[axis]
@@ -139,7 +296,6 @@ def multi_head_attention(
     import os
 
     B, H, N, D = q.shape
-    M = k.shape[2]
     use_pallas = (
         _HAS_PALLAS
         and not force_xla
@@ -155,46 +311,44 @@ def multi_head_attention(
     return _flash_mha(q, k, v, scale)
 
 
+_BQ, _BK = 256, 256
+
+
+def _padded(q, k, v):
+    N, M = q.shape[2], k.shape[2]
+    Np = ((N + _BQ - 1) // _BQ) * _BQ
+    Mp = ((M + _BK - 1) // _BK) * _BK
+    return _pad_to(q, Np, 2), _pad_to(k, Mp, 2), _pad_to(v, Mp, 2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_mha(q, k, v, scale):
-    """Pallas flash forward with a recomputation backward (the kernel itself
-    is not auto-differentiable; the guidance loop differentiates through the
-    VAE attention, so the bwd re-derives softmax weights with XLA matmuls)."""
-    N = q.shape[2]
-    M = k.shape[2]
-    bq, bk = 256, 256
-    Np = ((N + bq - 1) // bq) * bq
-    Mp = ((M + bk - 1) // bk) * bk
-    qp = _pad_to(q, Np, 2)
-    kp = _pad_to(k, Mp, 2)
-    vp = _pad_to(v, Mp, 2)
-    out = _flash_attention_pallas(qp, kp, vp, M, scale, bq, bk)
+    """Pallas flash forward; backward is the Pallas flash backward (recompute
+    from logsumexp — no [N,M] softmax matrix in HBM)."""
+    N, M = q.shape[2], k.shape[2]
+    qp, kp, vp = _padded(q, k, v)
+    out, _ = _flash_attention_pallas(qp, kp, vp, M, scale, _BQ, _BK)
     return out[:, :, :N]
 
 
 def _flash_mha_fwd(q, k, v, scale):
-    return _flash_mha(q, k, v, scale), (q, k, v)
+    N, M = q.shape[2], k.shape[2]
+    qp, kp, vp = _padded(q, k, v)
+    out, lse = _flash_attention_pallas(qp, kp, vp, M, scale, _BQ, _BK)
+    return out[:, :, :N], (q, k, v, out, lse)
 
 
 def _flash_mha_bwd(scale, res, g):
-    q, k, v = res
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
-                    preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf,
-                    preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
-                    preferred_element_type=jnp.float32) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
-                    preferred_element_type=jnp.float32) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    q, k, v, out_p, lse_p = res
+    N, M = q.shape[2], k.shape[2]
+    qp, kp, vp = _padded(q, k, v)
+    gp = _pad_to(g, qp.shape[2], 2)
+    # rowsum(do * o) per query row; padded rows are zero by construction
+    dsum = jnp.sum(gp.astype(jnp.float32) * out_p.astype(jnp.float32), axis=-1)
+    dq, dk, dv = _flash_backward_pallas(qp, kp, vp, gp, lse_p, dsum, M, scale,
+                                        _BQ, _BK)
+    return (dq[:, :, :N].astype(q.dtype), dk[:, :, :M].astype(k.dtype),
+            dv[:, :, :M].astype(v.dtype))
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)

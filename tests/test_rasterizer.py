@@ -113,3 +113,106 @@ def test_render_normal_and_disparity_semantics():
     assert 0.0 <= float(disp01.min()) and float(disp01.max()) <= 1.0
     # foreground disparity (1/2) >> background (1/10) after normalization
     assert float(disp01[64, 64]) > float(disp01[2, 2])
+
+
+# --------------------------------------------------------------------------- #
+# Pallas path: interpret-mode parity vs the XLA path (values + gradients)
+# --------------------------------------------------------------------------- #
+
+import functools
+from contextlib import contextmanager
+
+from jax.experimental import pallas as pl
+
+from followmyhold_tpu.ops import rasterizer as R
+
+
+@contextmanager
+def _pallas_interpret_on_cpu(monkeypatch_like=None):
+    orig_call = pl.pallas_call
+    orig_on_tpu = R._on_tpu
+    pl.pallas_call = functools.partial(orig_call, interpret=True)
+    R._on_tpu = lambda: True
+    # the factory caches compiled-call closures; clear so the patched
+    # (interpret) pallas_call is captured
+    R._raster_tiles_pallas.cache_clear()
+    try:
+        yield
+    finally:
+        pl.pallas_call = orig_call
+        R._on_tpu = orig_on_tpu
+        R._raster_tiles_pallas.cache_clear()
+
+
+def _irregular_mesh(n_tri=40, seed=5):
+    """Random small triangles in front of the camera, no grid alignment."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.8, 0.8, (n_tri, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(-4.0, -2.0, n_tri)
+    offs = rng.uniform(-0.25, 0.25, (n_tri, 3, 3)).astype(np.float32)
+    offs[:, :, 2] *= 0.1
+    verts = (centers[:, None, :] + offs).reshape(-1, 3)
+    faces = np.arange(3 * n_tri, dtype=np.int32).reshape(-1, 3)
+    normals = rng.normal(size=(3 * n_tri, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    mask = np.ones(n_tri, np.float32)
+    return (jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(normals),
+            jnp.asarray(mask))
+
+
+def test_pallas_raster_matches_xla_forward():
+    v, f, n, m = _irregular_mesh()
+    ref = rasterize(CAM, v, f, n, m, faces_per_tile=64, force_xla=True)
+    with _pallas_interpret_on_cpu():
+        out = rasterize(CAM, v, f, n, m, faces_per_tile=64)
+    ref_mask = np.asarray(ref.face_id >= 0)
+    out_mask = np.asarray(out.face_id >= 0)
+    # coverage identical except possibly exact-tie pixels
+    assert (ref_mask != out_mask).mean() < 0.001
+    both = ref_mask & out_mask
+    np.testing.assert_allclose(np.asarray(out.zbuf)[both],
+                               np.asarray(ref.zbuf)[both], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=5e-3)
+    # normals agree wherever the same face won
+    same = both & (np.asarray(ref.face_id) == np.asarray(out.face_id))
+    assert same.mean() > 0.99 * both.mean()
+    np.testing.assert_allclose(np.asarray(out.normal)[same],
+                               np.asarray(ref.normal)[same], atol=1e-3)
+
+
+def test_pallas_raster_matches_xla_gradients():
+    v, f, n, m = _irregular_mesh(n_tri=12, seed=7)
+    tgt_a = jnp.zeros((128, 128)).at[40:90, 40:90].set(1.0)
+    tgt_n = jnp.zeros((128, 128, 3)).at[..., 2].set(0.5)
+
+    def loss(verts, normals, force_xla):
+        out = rasterize(CAM, verts, f, normals, m, faces_per_tile=64,
+                        force_xla=force_xla)
+        return (jnp.sum((out.alpha - tgt_a) ** 2)
+                + jnp.sum((out.normal - tgt_n) ** 2)
+                + jnp.sum(jnp.where(out.face_id >= 0, out.zbuf, 0.0)))
+
+    gv_ref, gn_ref = jax.grad(lambda a, b: loss(a, b, True), (0, 1))(v, n)
+    with _pallas_interpret_on_cpu():
+        gv, gn = jax.grad(lambda a, b: loss(a, b, False), (0, 1))(v, n)
+
+    # gradients are dense sums over pixels; boundary-tie pixels may differ, so
+    # compare with a tolerance scaled to the gradient magnitude
+    ref_scale = float(jnp.abs(gv_ref).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               atol=2e-2 * ref_scale)
+    nscale = float(jnp.abs(gn_ref).max()) + 1e-6
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_ref),
+                               atol=2e-2 * nscale)
+
+
+def test_pallas_raster_empty_and_overflow():
+    """No faces at all, and more faces than capacity, both stay finite."""
+    v, f, n, m = _irregular_mesh(n_tri=30, seed=9)
+    with _pallas_interpret_on_cpu():
+        out = rasterize(CAM, v, f, n, jnp.zeros_like(m), faces_per_tile=64)
+        assert int((out.face_id >= 0).sum()) == 0
+        assert float(out.alpha.max()) == 0.0
+        out2 = rasterize(CAM, v, f, n, m, faces_per_tile=8)  # overflow capacity
+        assert np.isfinite(np.asarray(out2.zbuf)).all()
