@@ -34,18 +34,26 @@ def convert_hamer(torch_sd: Dict[str, np.ndarray],
     convert_vit(torch_sd, params, prefix="backbone.",
                 flax_prefix="params/backbone/vit",
                 depth=cfg.backbone.depth, report=report)
+    convert_mano_head(torch_sd, params, cfg, report=report)
+    return params, report
 
-    sd = {k: np.asarray(v) for k, v in torch_sd.items()
-          if k.startswith("mano_head.")}
+
+def convert_mano_head(torch_sd: Dict[str, np.ndarray], params, cfg: HamerConfig,
+                      flax_prefix: str = "params/mano_head",
+                      prefix: str = "mano_head.",
+                      report: ConversionReport | None = None):
+    """MANOTransformerDecoderHead state dict -> ManoHead params (in place)."""
+    report = report or ConversionReport()
+    sd = {k: np.asarray(v) for k, v in torch_sd.items() if k.startswith(prefix)}
 
     def grab(key):
-        full = "mano_head." + key
+        full = prefix + key
         if full in sd:
             return sd.pop(full)
         report.missing_src.append(full)
         return None
 
-    head = "params/mano_head"
+    head = flax_prefix
     for src, dst, tf in (
         ("decpose.weight", f"{head}/decpose/kernel", dense_kernel),
         ("decpose.bias", f"{head}/decpose/bias", None),
@@ -56,6 +64,11 @@ def convert_hamer(torch_sd: Dict[str, np.ndarray],
         ("init_hand_pose", f"{head}/init_hand_pose", None),
         ("init_betas", f"{head}/init_betas", None),
         ("init_cam", f"{head}/init_cam", None),
+        ("transformer.to_token_embedding.weight",
+         f"{head}/input_proj/kernel", dense_kernel),
+        ("transformer.to_token_embedding.bias",
+         f"{head}/input_proj/bias", None),
+        ("transformer.pos_embedding", f"{head}/pos_embedding", None),
     ):
         v = grab(src)
         if v is not None:
@@ -89,7 +102,9 @@ def convert_hamer(torch_sd: Dict[str, np.ndarray],
         stacked = []
         ok = True
         for i in range(cfg.head_depth):
-            key = f"mano_head.transformer.layers.{i}.{src_rel}"
+            # TransformerDecoder wraps TransformerCrossAttn as .transformer,
+            # so layer keys are mano_head.transformer.transformer.layers.*
+            key = f"{prefix}transformer.transformer.layers.{i}.{src_rel}"
             if key in sd:
                 v = sd.pop(key)
                 stacked.append(tf(v) if tf else v)

@@ -98,6 +98,8 @@ class GuidanceResult(NamedTuple):
     noise_pred: jnp.ndarray
     hand: PoseParams
     obj: PoseParams
+    # per-phase loss curves: {"hand": [200], "obj": [100], "joint_11": [50], ...}
+    losses: Optional[dict] = None
 
 
 def init_pose() -> PoseParams:
@@ -299,7 +301,7 @@ class GuidedSampler:
 
         (hand, _), losses = jax.lax.scan(
             body, (hand, opt_state), None, length=cfg.optimization_steps_hand)
-        return hand
+        return hand, losses
 
     # phase 1.5: object transform + noise ------------------------------- #
 
@@ -351,9 +353,9 @@ class GuidedSampler:
             p = optax.apply_updates(p, updates)
             return (p, s), loss
 
-        (params, _), _ = jax.lax.scan(
+        (params, _), losses = jax.lax.scan(
             body, (params, opt_state), None, length=cfg.optimization_steps_scale)
-        return params["pose"], params["noise"]
+        return params["pose"], params["noise"], losses
 
     # phase 2: joint ----------------------------------------------------- #
 
@@ -455,9 +457,9 @@ class GuidedSampler:
             p = optax.apply_updates(p, updates)
             return (p, s), loss
 
-        (params, _), _ = jax.lax.scan(
+        (params, _), losses = jax.lax.scan(
             body, (params, opt_state), None, length=cfg.optimization_steps_joint)
-        return params["hand"], params["obj"], params["noise"]
+        return params["hand"], params["obj"], params["noise"], losses
 
     # main loop ----------------------------------------------------------- #
 
@@ -470,6 +472,7 @@ class GuidedSampler:
         targets: GuidanceTargets,
         key: jax.Array,
         latent_shape: Tuple[int, int],
+        debug=None,                 # Optional[DebugDir]: in-loop loss/mesh dumps
     ) -> GuidanceResult:
         cfg = self.config
         n = cfg.num_inference_steps
@@ -480,6 +483,17 @@ class GuidedSampler:
 
         hand_phase, obj_phase, joint_phase, advance, dit_step = _jitted_phases(self)
 
+        def log_phase(tag, losses):
+            loss_log[tag] = losses
+            if debug is not None and debug.enabled:
+                # per-10-iter loss lines (reference pipelines.py:1351-1355)
+                arr = np.asarray(losses)
+                for it in range(0, len(arr), 10):
+                    debug.log_loss(f"{tag} iter {it}: loss {arr[it]:.6f}")
+                if len(arr):
+                    debug.log_loss(f"{tag} final: loss {arr[-1]:.6f}")
+
+        loss_log: dict = {}
         noise_pred = jnp.zeros_like(latents)
         for i in range(n):
             # CFG decay after guidance starts (pipelines.py:1283-1291)
@@ -492,19 +506,39 @@ class GuidedSampler:
                                   g)
 
             if i == cfg.handopt_start_step:
-                hand = hand_phase(hand, targets)
+                hand, hl = hand_phase(hand, targets)
+                log_phase("hand", hl)
             elif i == cfg.handopt_start_step + 1:
-                obj, noise_pred = obj_phase(
+                obj, noise_pred, ol = obj_phase(
                     obj, noise_pred, latents, vae_params, targets, sched, i)
+                log_phase("obj", ol)
             elif i >= cfg.handopt_start_step + 2:
-                hand, obj, noise_pred = joint_phase(
+                hand, obj, noise_pred, jl = joint_phase(
                     hand, obj, noise_pred, latents, vae_params, targets, sched,
                     i, near_end=bool(i >= n - 3))
+                log_phase(f"joint_{i}", jl)
+
+            # step-14 intermediate mesh dump (reference pipelines.py:1664-1675)
+            if debug is not None and debug.enabled and i == min(14, n - 2):
+                self._debug_mesh_dump(debug, f"step{i:02d}", vae_params,
+                                      noise_pred, latents, sched, i)
 
             latents = advance(sched, i, noise_pred, latents)
 
         return GuidanceResult(latents=latents, noise_pred=noise_pred,
-                              hand=hand, obj=obj)
+                              hand=hand, obj=obj, losses=loss_log)
+
+    def _debug_mesh_dump(self, debug, tag, vae_params, noise_pred, latents,
+                         sched, step_i):
+        """Decode the current x1 estimate at in-loop resolution and dump it."""
+        xyz, bbox, res = self._grid()
+        mesh, _ = _decode_object(
+            self.vae, vae_params, sched, step_i, noise_pred, latents,
+            xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+        nv, nf = int(mesh.num_verts), int(mesh.num_faces)
+        if nf > 0:
+            debug.dump_mesh(f"{tag}_obj.ply", np.asarray(mesh.verts)[:nv],
+                            np.asarray(mesh.faces)[:nf])
 
     def export_meshes(
         self, vae_params, result: GuidanceResult, targets: GuidanceTargets,

@@ -138,7 +138,8 @@ def run_hunyuan_w_guid(
                             **guidance_mesh_caps())
     key = stage_key(SEED_GUIDANCE, "guidance", image_id)
     result = sampler.run(dit_params, vae_params, cond_main, uncond_main,
-                         targets, key, (vae.cfg.num_latents, vae.cfg.embed_dim))
+                         targets, key, (vae.cfg.num_latents, vae.cfg.embed_dim),
+                         debug=debug)
 
     # 384^3 final decode parity (pipelines.py:1624-1641): resolutions above
     # export_meshes' device_res_limit take the exact-shape host extraction path

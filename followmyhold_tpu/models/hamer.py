@@ -154,9 +154,16 @@ class ManoHead(nn.Module):
         pred_betas = jnp.tile(init_betas, (B, 1))
         pred_cam = jnp.tile(init_cam, (B, 1))
 
+        # TransformerDecoder embeds the zero token and adds a learned pos
+        # embedding; there is NO final norm after the layers
+        # (pose_transformer.py:301-355).
+        pos_embedding = self.param("pos_embedding", nn.initializers.normal(1.0),
+                                   (1, 1, c.head_dim), jnp.float32)
+
         for _ in range(c.ief_iters):
             token = jnp.zeros((B, 1, 1), c.dtype)
             x = nn.Dense(c.head_dim, dtype=c.dtype, name="input_proj")(token)
+            x = x + pos_embedding.astype(c.dtype)
 
             class _LayerScan(nn.Module):
                 cfg: HamerConfig
@@ -170,7 +177,6 @@ class ManoHead(nn.Module):
             lscan = nn.scan(_LayerScan, variable_axes={"params": 0},
                             split_rngs={"params": True}, length=c.head_depth)
             (x, _), _ = lscan(c, name="layers")((x, tokens), None)
-            x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
             token_out = x[:, 0].astype(jnp.float32)
 
             pred_pose = nn.Dense(c.npose, dtype=jnp.float32, name="decpose")(token_out) + pred_pose

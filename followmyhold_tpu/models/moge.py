@@ -37,8 +37,13 @@ class MoGeConfig:
     neck_dims: Tuple[int, ...] = (512, 256, 128, 64, 32)   # per level (stride 1..1/16)
     head_dims: Tuple[int, ...] = (512, 256, 128, 64, 32)
     num_res_blocks: int = 2
+    # ConvStack knobs mirroring the reference (modules.py ConvStack/__init__);
+    # the real values come from the checkpoint's config json at conversion.
+    resampler: str = "pixel_shuffle"   # 'pixel_shuffle' | 'bilinear' | 'nearest'
+    res_block_hidden_mult: int = 1     # dim_times_res_block_hidden
     scale_head_dims: Tuple[int, ...] = (1024, 512, 128, 1)
     use_normal_head: bool = True
+    remap_output: str = "linear"       # 'linear' | 'sinh' | 'exp' | 'sinh_exp'
     num_tokens_range: Tuple[int, int] = (1200, 3600)
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -67,34 +72,90 @@ def normalized_view_plane_uv(height: int, width: int,
     return jnp.stack([uu, vv], axis=-1)  # [H,W,2]
 
 
-class ResidualConvBlock(nn.Module):
-    """modules.py:18-68: LN -> ReLU -> conv3 -> GN -> ReLU -> conv3 + skip."""
+class ReplConv3(nn.Module):
+    """3x3 conv, torch padding_mode='replicate' (modules.py convs)."""
 
-    channels: int
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        return nn.Conv(self.features, (3, 3), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class ResidualConvBlock(nn.Module):
+    """Faithful port of modules.py ResidualConvBlock: GN(layer) -> act ->
+    conv3(replicate) -> GN(group) -> act -> conv3(replicate), plus a 1x1 skip
+    projection when in/out dims differ."""
+
+    out_channels: int
+    hidden_channels: int
     dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        skip = x
+        in_channels = x.shape[-1]
+        if in_channels != self.out_channels:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name="skip")(x.astype(self.dtype))
+        else:
+            skip = x
+        # in_norm = 'layer_norm' -> GroupNorm(1); hidden_norm = 'group_norm'
+        # -> GroupNorm(hidden // 32) (modules.py:47-58)
         h = nn.GroupNorm(num_groups=1, dtype=jnp.float32, name="in_norm")(x)
         h = nn.relu(h).astype(self.dtype)
-        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=max(self.channels // 32, 1), dtype=jnp.float32,
-                         name="hidden_norm")(h)
+        h = ReplConv3(self.hidden_channels, self.dtype, name="conv1")(h)
+        h = nn.GroupNorm(num_groups=max(self.hidden_channels // 32, 1),
+                         dtype=jnp.float32, name="hidden_norm")(h)
         h = nn.relu(h).astype(self.dtype)
-        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        h = ReplConv3(self.out_channels, self.dtype, name="conv2")(h)
         return h + skip
 
 
+def _pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """torch.nn.PixelShuffle in NHWC: channel index c*r^2 + i*r + j ->
+    spatial (h*r+i, w*r+j)."""
+    B, H, W, C = x.shape
+    c = C // (r * r)
+    x = x.reshape(B, H, W, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)       # B, H, r, W, r, c
+    return x.reshape(B, H * r, W * r, c)
+
+
+class Resampler(nn.Module):
+    """modules.py Resampler (x2 upsampling between ConvStack levels)."""
+
+    out_channels: int
+    kind: str               # 'pixel_shuffle' | 'bilinear' | 'nearest'
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.kind == "pixel_shuffle":
+            h = ReplConv3(self.out_channels * 4, self.dtype, name="conv0")(x)
+            h = _pixel_shuffle(h, 2)
+            return ReplConv3(self.out_channels, self.dtype, name="conv1")(h)
+        if self.kind in ("bilinear", "nearest"):
+            B, H, W, C = x.shape
+            h = jax.image.resize(x, (B, H * 2, W * 2, C), self.kind)
+            return ReplConv3(self.out_channels, self.dtype, name="conv0")(h)
+        raise ValueError(f"Unsupported resampler: {self.kind}")
+
+
 class ConvStack(nn.Module):
-    """Multi-level conv decoder (modules.py:195+): per level, fuse the level
-    input (1x1 conv) with the upsampled previous level, run res blocks, and
-    emit a per-level output. Returns the list of per-level outputs."""
+    """Faithful port of modules.py ConvStack: per level, 1x1 input block is
+    ADDED to the running features, res blocks run, a 1x1 output block emits
+    the level output, then the resampler upsamples x2 for the next level.
+    Returns the list of per-level outputs."""
 
     level_dims: Sequence[int]
     out_dim: Optional[int]
     num_res_blocks: int
     dtype: jnp.dtype
+    resampler: str = "pixel_shuffle"
+    hidden_mult: int = 1
 
     @nn.compact
     def __call__(self, inputs: Sequence[Optional[jnp.ndarray]]):
@@ -107,20 +168,35 @@ class ConvStack(nn.Module):
                     inp.astype(self.dtype))
             if x is None:
                 x = inp
-            else:
-                B, H, W, _ = x.shape
-                x = jax.image.resize(x, (B, H * 2, W * 2, x.shape[-1]), "bilinear")
-                x = nn.Conv(dim, (1, 1), dtype=self.dtype, name=f"up{lvl}")(x)
-                if inp is not None:
-                    x = x + inp
+            elif inp is not None:
+                x = x + inp
             for b in range(self.num_res_blocks):
-                x = ResidualConvBlock(dim, self.dtype, name=f"res{lvl}_{b}")(x)
+                x = ResidualConvBlock(dim, dim * self.hidden_mult, self.dtype,
+                                      name=f"res{lvl}_{b}")(x)
             if self.out_dim is not None:
                 outs.append(nn.Conv(self.out_dim, (1, 1), dtype=jnp.float32,
                                     name=f"out{lvl}")(x.astype(jnp.float32)))
             else:
                 outs.append(x)
+            if lvl < len(self.level_dims) - 1:
+                x = Resampler(self.level_dims[lvl + 1], self.resampler,
+                              self.dtype, name=f"up{lvl}")(x)
         return outs
+
+
+def _remap_points(points: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """v2.py:112-126 _remap_points."""
+    if kind == "linear":
+        return points
+    if kind == "sinh":
+        return jnp.sinh(points)
+    if kind == "exp":
+        z = jnp.exp(points[..., 2:])
+        return jnp.concatenate([points[..., :2] * z, z], axis=-1)
+    if kind == "sinh_exp":
+        return jnp.concatenate(
+            [jnp.sinh(points[..., :2]), jnp.exp(points[..., 2:])], axis=-1)
+    raise ValueError(f"Invalid remap output type: {kind}")
 
 
 class MoGe(nn.Module):
@@ -162,17 +238,18 @@ class MoGe(nn.Module):
             else:
                 levels.append(uv)
 
-        neck_feats = ConvStack(c.neck_dims, None, c.num_res_blocks, c.dtype,
-                               name="neck")(levels)
+        def stack(dims, out_dim, name):
+            return ConvStack(dims, out_dim, c.num_res_blocks, c.dtype,
+                             resampler=c.resampler,
+                             hidden_mult=c.res_block_hidden_mult, name=name)
 
-        points = ConvStack(c.head_dims, 3, c.num_res_blocks, c.dtype,
-                           name="points_head")(neck_feats)[-1]
-        mask = ConvStack(c.head_dims, 1, c.num_res_blocks, c.dtype,
-                         name="mask_head")(neck_feats)[-1]
+        neck_feats = stack(c.neck_dims, None, "neck")(levels)
+
+        points = stack(c.head_dims, 3, "points_head")(neck_feats)[-1]
+        mask = stack(c.head_dims, 1, "mask_head")(neck_feats)[-1]
         normal = None
         if c.use_normal_head:
-            normal = ConvStack(c.head_dims, 3, c.num_res_blocks, c.dtype,
-                               name="normal_head")(neck_feats)[-1]
+            normal = stack(c.head_dims, 3, "normal_head")(neck_feats)[-1]
 
         # metric scale from cls token (MLP ... -> exp). The output layer
         # zero-inits so a fresh model predicts scale exp(0)=1 instead of a
@@ -189,7 +266,7 @@ class MoGe(nn.Module):
             return jax.image.resize(
                 x.astype(jnp.float32), (B, H, W, x.shape[-1]), "bilinear")
 
-        points = up(points)
+        points = _remap_points(up(points), c.remap_output)
         mask = jax.nn.sigmoid(up(mask)[..., 0])
         if normal is not None:
             normal = up(normal)

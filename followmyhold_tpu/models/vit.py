@@ -37,6 +37,13 @@ class ViTConfig:
     use_cls_token: bool = False
     num_register_tokens: int = 0
     layerscale_init: Optional[float] = None  # DINOv2 uses 1e-5
+    # HaMeR's ViTPose-style patch embed pads the conv by 2px (vit.py:168:
+    # padding = 4 + 2*(ratio//2-1) with ratio=1) — different windows than an
+    # unpadded stride-16 conv.
+    patch_padding: int = 0
+    # HaMeR keeps a cls SLOT in pos_embed without a cls token and adds it as a
+    # bias to every patch token (vit.py:327: x + pos[:, 1:] + pos[:, :1]).
+    pos_embed_cls_slot: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -49,7 +56,7 @@ class ViTConfig:
         return gh * gw
 
 
-HAMER_VIT_H = ViTConfig()  # the exact HaMeR backbone shape
+HAMER_VIT_H = ViTConfig(patch_padding=2, pos_embed_cls_slot=True)
 
 DINOV2_VIT_L = ViTConfig(
     img_size=(518, 518), patch_size=14, embed_dim=1024, depth=24, num_heads=16,
@@ -133,25 +140,33 @@ class ViT(nn.Module):
     ):
         c = self.cfg
         B, H, W, _ = images.shape
-        gh, gw = H // c.patch_size, W // c.patch_size
+        pp = c.patch_padding
+        gh = (H + 2 * pp - c.patch_size) // c.patch_size + 1
+        gw = (W + 2 * pp - c.patch_size) // c.patch_size + 1
 
         x = nn.Conv(
             c.embed_dim, kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size), dtype=c.dtype, name="patch_embed",
+            strides=(c.patch_size, c.patch_size),
+            padding=((pp, pp), (pp, pp)) if pp else "VALID",
+            dtype=c.dtype, name="patch_embed",
         )(images.astype(c.dtype))
         x = x.reshape(B, gh * gw, c.embed_dim)
 
         n_prefix = (1 if c.use_cls_token else 0) + c.num_register_tokens
+        has_cls_slot = c.use_cls_token or c.pos_embed_cls_slot
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02),
-            (1, c.num_patches + (1 if c.use_cls_token else 0), c.embed_dim),
+            (1, c.num_patches + (1 if has_cls_slot else 0), c.embed_dim),
             jnp.float32,
         )
-        if c.use_cls_token:
+        if has_cls_slot:
             cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         else:
             cls_pos, patch_pos = None, pos
         patch_pos = interpolate_pos_embed(patch_pos, c.grid, (gh, gw))
+        if c.pos_embed_cls_slot and not c.use_cls_token:
+            # HaMeR adds the cls-slot embedding as a bias to every token
+            patch_pos = patch_pos + cls_pos
 
         x = x + patch_pos.astype(c.dtype)
         if c.use_cls_token:
@@ -207,5 +222,7 @@ class ViTFeatureMap(nn.Module):
         c = self.cfg
         B, H, W, _ = images.shape
         tokens = ViT(c, name="vit")(images)
-        gh, gw = H // c.patch_size, W // c.patch_size
+        pp = c.patch_padding
+        gh = (H + 2 * pp - c.patch_size) // c.patch_size + 1
+        gw = (W + 2 * pp - c.patch_size) // c.patch_size + 1
         return tokens.reshape(B, gh, gw, c.embed_dim)

@@ -85,7 +85,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, kv_len: int,
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    l_ref[0] = (m + jnp.log(l_safe))[:, 0]            # logsumexp per row
+    l_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]         # logsumexp per row
 
 
 def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
@@ -115,12 +115,12 @@ def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
         out_specs=(
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, N), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, 1, N), jnp.float32),
         ),
     )(qr, kr, vr)
     return out.reshape(B, H, N, D), lse.reshape(B, H, N)
@@ -137,8 +137,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
                          scale: float):
     q = q_ref[0].astype(jnp.float32)                  # [bq, D]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]                         # [bq, 1]
-    dsum = dsum_ref[0][:, None]                       # [bq, 1] rowsum(do*o)
+    lse = lse_ref[0, 0][:, None]                      # [bq, 1]
+    dsum = dsum_ref[0, 0][:, None]                    # [bq, 1] rowsum(do*o)
 
     acc = jnp.zeros_like(q)
 
@@ -171,8 +171,8 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        dsum = dsum_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        dsum = dsum_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s - lse)                          # [bq, bk]
         dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
@@ -198,8 +198,8 @@ def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
     kr = k.reshape(B * H, M, D)
     vr = v.reshape(B * H, M, D)
     dor = do.reshape(B * H, N, D)
-    lser = lse.reshape(B * H, N)
-    dsr = dsum.reshape(B * H, N)
+    lser = lse.reshape(B * H, 1, N)
+    dsr = dsum.reshape(B * H, 1, N)
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, kv_len=kv_len, kv_pad=M,
@@ -214,9 +214,9 @@ def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
@@ -237,9 +237,9 @@ def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, D), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda b, j: (b, 0),
+            pl.BlockSpec((1, 1, N), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda b, j: (b, 0),
+            pl.BlockSpec((1, 1, N), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

@@ -182,8 +182,9 @@ def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
     count = counts_ref[p]
     y0 = ((p // tx) * t).astype(jnp.float32)
     x0 = ((p % tx) * t).astype(jnp.float32)
-    uu = x0 + jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
-    vv = y0 + jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
+    # Mosaic iota must be integer-typed; cast after
+    uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
+    vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
 
     big = jnp.float32(3.0e38)
     big_i = jnp.int32(K + 1)
@@ -224,7 +225,9 @@ def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
         best_z = jnp.where(take, zmin, best_z)
 
         cov = jnp.where(usable, cov, 0.0)
-        vis = vis * jnp.prod(1.0 - cov, axis=0)
+        # Mosaic has no reduce_prod; C is static, unroll the product
+        for ci in range(C):
+            vis = vis * (1.0 - cov[ci])
         return best_z, best_s, best_w1, best_w2, vis
 
     nchunks = pl.cdiv(count, C)
@@ -242,8 +245,9 @@ def _raster_bwd_kernel(counts_ref, geom_ref, slot_ref, vis_ref, gw1_ref,
     count = counts_ref[p]
     y0 = ((p // tx) * t).astype(jnp.float32)
     x0 = ((p % tx) * t).astype(jnp.float32)
-    uu = x0 + jax.lax.broadcasted_iota(jnp.float32, (t, t), 1)
-    vv = y0 + jax.lax.broadcasted_iota(jnp.float32, (t, t), 0)
+    # Mosaic iota must be integer-typed; cast after
+    uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
+    vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
 
     slot_grid = slot_ref[0]                     # [t,t] int32
     vis = vis_ref[0]

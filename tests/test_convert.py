@@ -110,33 +110,39 @@ def test_convert_hamer_structure():
         "mano_head.init_hand_pose": rng.normal(size=(1, 96)).astype(np.float32),
         "mano_head.init_betas": rng.normal(size=(1, 10)).astype(np.float32),
         "mano_head.init_cam": rng.normal(size=(1, 3)).astype(np.float32),
-        "mano_head.transformer.layers.0.0.norm.weight": np.ones(16, np.float32),
-        "mano_head.transformer.layers.0.0.norm.bias": np.zeros(16, np.float32),
-        "mano_head.transformer.layers.0.0.fn.to_qkv.weight":
+        "mano_head.transformer.to_token_embedding.weight":
+            rng.normal(size=(16, 1)).astype(np.float32),
+        "mano_head.transformer.to_token_embedding.bias":
+            np.zeros(16, np.float32),
+        "mano_head.transformer.pos_embedding":
+            rng.normal(size=(1, 1, 16)).astype(np.float32),
+        "mano_head.transformer.transformer.layers.0.0.norm.weight": np.ones(16, np.float32),
+        "mano_head.transformer.transformer.layers.0.0.norm.bias": np.zeros(16, np.float32),
+        "mano_head.transformer.transformer.layers.0.0.fn.to_qkv.weight":
             rng.normal(size=(3 * inner, 16)).astype(np.float32),
-        "mano_head.transformer.layers.0.0.fn.to_out.0.weight":
+        "mano_head.transformer.transformer.layers.0.0.fn.to_out.0.weight":
             rng.normal(size=(16, inner)).astype(np.float32),
-        "mano_head.transformer.layers.0.0.fn.to_out.0.bias":
+        "mano_head.transformer.transformer.layers.0.0.fn.to_out.0.bias":
             np.zeros(16, np.float32),
-        "mano_head.transformer.layers.0.1.norm.weight": np.ones(16, np.float32),
-        "mano_head.transformer.layers.0.1.norm.bias": np.zeros(16, np.float32),
-        "mano_head.transformer.layers.0.1.fn.to_q.weight":
+        "mano_head.transformer.transformer.layers.0.1.norm.weight": np.ones(16, np.float32),
+        "mano_head.transformer.transformer.layers.0.1.norm.bias": np.zeros(16, np.float32),
+        "mano_head.transformer.transformer.layers.0.1.fn.to_q.weight":
             rng.normal(size=(inner, 16)).astype(np.float32),
-        "mano_head.transformer.layers.0.1.fn.to_kv.weight":
+        "mano_head.transformer.transformer.layers.0.1.fn.to_kv.weight":
             rng.normal(size=(2 * inner, 16)).astype(np.float32),
-        "mano_head.transformer.layers.0.1.fn.to_out.0.weight":
+        "mano_head.transformer.transformer.layers.0.1.fn.to_out.0.weight":
             rng.normal(size=(16, inner)).astype(np.float32),
-        "mano_head.transformer.layers.0.1.fn.to_out.0.bias":
+        "mano_head.transformer.transformer.layers.0.1.fn.to_out.0.bias":
             np.zeros(16, np.float32),
-        "mano_head.transformer.layers.0.2.norm.weight": np.ones(16, np.float32),
-        "mano_head.transformer.layers.0.2.norm.bias": np.zeros(16, np.float32),
-        "mano_head.transformer.layers.0.2.fn.net.0.weight":
+        "mano_head.transformer.transformer.layers.0.2.norm.weight": np.ones(16, np.float32),
+        "mano_head.transformer.transformer.layers.0.2.norm.bias": np.zeros(16, np.float32),
+        "mano_head.transformer.transformer.layers.0.2.fn.net.0.weight":
             rng.normal(size=(16, 16)).astype(np.float32),
-        "mano_head.transformer.layers.0.2.fn.net.0.bias":
+        "mano_head.transformer.transformer.layers.0.2.fn.net.0.bias":
             np.zeros(16, np.float32),
-        "mano_head.transformer.layers.0.2.fn.net.3.weight":
+        "mano_head.transformer.transformer.layers.0.2.fn.net.3.weight":
             rng.normal(size=(16, 16)).astype(np.float32),
-        "mano_head.transformer.layers.0.2.fn.net.3.bias":
+        "mano_head.transformer.transformer.layers.0.2.fn.net.3.bias":
             np.zeros(16, np.float32),
     })
 

@@ -1,0 +1,84 @@
+"""GuidedSampler in-loop observability: per-phase loss curves are returned
+(reference dumps per-10-iter loss lines + step-14 meshes, pipelines.py:
+1331-1333, 1664-1675)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from followmyhold_tpu.configs.guidance import OptimizationConfig
+from followmyhold_tpu.diffusion.guidance import GuidanceTargets, GuidedSampler
+from followmyhold_tpu.models.hunyuan import (
+    DiTConfig,
+    HunyuanDiT,
+    ShapeVAE,
+    ShapeVAEConfig,
+)
+from followmyhold_tpu.models.mano import synthetic_mano
+from followmyhold_tpu.ops.camera import GuidanceCamera
+from followmyhold_tpu.utils.debug import DebugDir
+
+
+def _tiny_sampler():
+    H = W = 64
+    dit_cfg = DiTConfig(in_channels=8, hidden=64, heads=4, depth_double=1,
+                        depth_single=1, context_dim=32, time_dim=32,
+                        dtype=jnp.float32)
+    vae_cfg = ShapeVAEConfig(num_latents=16, embed_dim=8, width=32, heads=4,
+                             depth=1, geo_heads=4, dtype=jnp.float32)
+    dit, vae = HunyuanDiT(dit_cfg), ShapeVAE(vae_cfg)
+    cam = GuidanceCamera(height=H, width=W, fov_deg=60.0)
+    cfg = OptimizationConfig(num_inference_steps=6, optimization_steps_hand=12,
+                             optimization_steps_scale=3,
+                             optimization_steps_joint=2, octree_resolution=8)
+    sampler = GuidedSampler(dit=dit, vae=vae, camera=cam, config=cfg,
+                            max_verts=512, max_faces=1024, vae_chunk=128,
+                            raster_faces_per_tile=256)
+    key = jax.random.key(0)
+    lat = jnp.zeros((1, 16, 8))
+    cond = jnp.zeros((1, 4, 32))
+    dit_params = dit.init(key, lat, jnp.zeros(1), cond)
+    vae_params = vae.init(key, lat, jnp.zeros((1, 8, 3)))
+
+    mano = synthetic_mano()
+    rng = np.random.default_rng(0)
+    mverts = np.asarray(mano.v_template)
+    mverts = mverts - mverts.mean(0) + np.array([0, 0, -2.0], np.float32)
+    targets = GuidanceTargets(
+        mano_verts_moge=jnp.asarray(mverts),
+        mano_faces=mano.faces,
+        j_regressor=mano.j_regressor,
+        hamer_2d_kps=jnp.asarray(rng.uniform(10, 54, (21, 2)).astype(np.float32)),
+        moge_normal=jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32)),
+        moge_disp=jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32)),
+        hand_mask=jnp.zeros((H, W), bool).at[20:40, 20:40].set(True),
+        obj_mask=jnp.zeros((H, W), bool).at[30:50, 30:50].set(True),
+        t_h2m=jnp.eye(4).at[2, 3].set(-2.0),
+    )
+    return sampler, dit_params, vae_params, cond, targets
+
+
+def test_run_collects_loss_curves_and_debug_dumps(tmp_path, monkeypatch):
+    monkeypatch.setenv("FOHO_DEBUG_DIR", str(tmp_path))
+    sampler, dit_params, vae_params, cond, targets = _tiny_sampler()
+    debug = DebugDir("unit")
+    result = sampler.run(dit_params, vae_params, cond, cond, targets,
+                         jax.random.key(1), (16, 8), debug=debug)
+    debug.close()
+
+    assert result.losses is not None
+    assert "hand" in result.losses and len(result.losses["hand"]) == 12
+    assert "obj" in result.losses and len(result.losses["obj"]) == 3
+    joint_keys = [k for k in result.losses if k.startswith("joint_")]
+    assert len(joint_keys) == 2  # steps 4 and 5 of 6
+    assert all(np.isfinite(np.asarray(v)).all() for v in result.losses.values())
+
+    # losses.txt with per-10-iter lines
+    log = (tmp_path / "unit" / "losses.txt").read_text().strip().splitlines()
+    assert any(line.startswith("hand iter 0:") for line in log)
+    assert any(line.startswith("hand iter 10:") for line in log)
+    assert any(line.startswith("obj final:") for line in log)
+    # step-(n-2) intermediate mesh dump
+    assert (tmp_path / "unit" / "step04_obj.ply").exists()
