@@ -21,8 +21,57 @@ import jax.numpy as jnp
 import numpy as np
 
 from followmyhold_tpu.diffusion.scheduler import make_schedule, step
-from followmyhold_tpu.models.gdino import TextEncoder, GDinoConfig, tokenize_bytes
 from followmyhold_tpu.models.hunyuan import DiTConfig, HunyuanDiT
+
+
+@dataclasses.dataclass(frozen=True)
+class ByteTextConfig:
+    text_dim: int = 256
+    text_depth: int = 4
+    text_heads: int = 4
+    max_text_len: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+
+def tokenize_bytes(text: str, max_len: int) -> np.ndarray:
+    ids = np.zeros(max_len, np.int32)
+    raw = text.encode("utf-8")[: max_len]
+    ids[: len(raw)] = np.frombuffer(raw, np.uint8).astype(np.int32) + 1
+    return ids
+
+
+class ByteTextEncoder(nn.Module):
+    """Small byte-level transformer prompt encoder (stand-in conditioning)."""
+
+    cfg: ByteTextConfig
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        x = nn.Embed(257, c.text_dim, name="embed")(token_ids)
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (1, c.max_text_len, c.text_dim), jnp.float32)
+        x = (x + pos[:, : x.shape[1]]).astype(c.dtype)
+        for i in range(c.text_depth):
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"ln{i}")(x).astype(c.dtype)
+            qkv = nn.Dense(3 * c.text_dim, dtype=c.dtype, name=f"qkv{i}")(h)
+            q, k, v = jnp.split(qkv, 3, -1)
+
+            def split(t):
+                B, N, D = t.shape
+                hd = D // c.text_heads
+                return t.reshape(B, N, c.text_heads, hd).transpose(0, 2, 1, 3)
+
+            from followmyhold_tpu.ops.attention import multi_head_attention
+
+            a = multi_head_attention(split(q), split(k), split(v))
+            B, H, N, hd = a.shape
+            a = a.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+            x = x + nn.Dense(c.text_dim, dtype=c.dtype, name=f"proj{i}")(a)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"ln2_{i}")(x).astype(c.dtype)
+            h = nn.gelu(nn.Dense(4 * c.text_dim, dtype=c.dtype, name=f"fc1{i}")(h))
+            x = x + nn.Dense(c.text_dim, dtype=c.dtype, name=f"fc2{i}")(h)
+        return x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,8 +81,8 @@ class FluxInpaintConfig:
     dit: DiTConfig = DiTConfig(in_channels=16 + 16 + 1, context_dim=256,
                                hidden=1024, heads=16, depth_double=4,
                                depth_single=8)
-    text: GDinoConfig = GDinoConfig(text_dim=256, text_depth=4, text_heads=4,
-                                    max_text_len=64)
+    text: ByteTextConfig = ByteTextConfig(text_dim=256, text_depth=4,
+                                          text_heads=4, max_text_len=64)
     num_steps: int = 28
     guidance: float = 2.5
     dtype: jnp.dtype = jnp.bfloat16
@@ -44,7 +93,8 @@ FLUX_TINY = FluxInpaintConfig(
     dit=DiTConfig(in_channels=4 + 4 + 1, context_dim=16, hidden=32, heads=2,
                   depth_double=1, depth_single=1, time_dim=16,
                   dtype=jnp.float32),
-    text=GDinoConfig(text_dim=16, text_depth=1, text_heads=2, max_text_len=16),
+    text=ByteTextConfig(text_dim=16, text_depth=1, text_heads=2,
+                        max_text_len=16),
     num_steps=4, dtype=jnp.float32)
 
 
@@ -87,7 +137,7 @@ class FluxInpainter(nn.Module):
     def setup(self):
         self.vae = ConvVAE(self.cfg)
         self.dit = HunyuanDiT(self.cfg.dit)
-        self.text_encoder = TextEncoder(self.cfg.text)
+        self.text_encoder = ByteTextEncoder(self.cfg.text)
         self.text_proj = nn.Dense(self.cfg.dit.context_dim, name="text_proj")
 
     def __call__(self, image, mask, token_ids, t, noisy_latents):

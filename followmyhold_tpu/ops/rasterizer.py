@@ -51,7 +51,7 @@ except Exception:  # pragma: no cover
 
 _COV_CAP = 1.0 - 1e-3   # max per-face coverage: keeps d(prod)/d(cov) finite
 _PT = 128               # pallas pixel tile edge
-_PC = 8                 # pallas faces per chunk
+_PCHUNK = 128           # faces per streamed geometry block
 
 
 class RasterOut(NamedTuple):
@@ -175,140 +175,181 @@ def _chunk_geometry(g, uu, vv, inv_sigma):
     return w0, w1, w2, zpix, cov, degen
 
 
+def _face_geometry(gs, uu, vv, inv_sigma):
+    """Single-face screen-space math against the [t,t] pixel tile.
+
+    gs: 9 scalars (x0,y0,z0,x1,y1,z1,x2,y2,z2). Returns w0,w1,w2 [t,t]
+    barycentrics (w_k = e_k/area), zpix [t,t], cov [t,t], degen scalar.
+    Mosaic-friendly: scalar-broadcast VPU ops only, no tiny-vector reshapes.
+    """
+    x0, y0, z0, x1, y1, z1, x2, y2, z2 = gs
+
+    def edge(ax, ay, bx, by):
+        return (bx - ax) * (vv - ay) - (by - ay) * (uu - ax)
+
+    def seg_dist(ax, ay, bx, by):
+        abx = bx - ax
+        aby = by - ay
+        len2 = jnp.maximum(abx * abx + aby * aby, 1e-12)
+        apx = uu - ax
+        apy = vv - ay
+        tpar = jnp.clip((apx * abx + apy * aby) / len2, 0.0, 1.0)
+        dx = apx - tpar * abx
+        dy = apy - tpar * aby
+        return jnp.sqrt(dx * dx + dy * dy + 1e-12)
+
+    e0 = edge(x1, y1, x2, y2)
+    e1 = edge(x2, y2, x0, y0)
+    e2 = edge(x0, y0, x1, y1)
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    degen = jnp.abs(area) < 1e-12
+    inv_area = 1.0 / jnp.where(degen, 1.0, area)
+    w0 = e0 * inv_area
+    w1 = e1 * inv_area
+    w2 = e2 * inv_area
+    zpix = w0 * z0 + w1 * z1 + w2 * z2
+
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+    dmin = jnp.minimum(jnp.minimum(seg_dist(x1, y1, x2, y2),
+                                   seg_dist(x2, y2, x0, y0)),
+                       seg_dist(x0, y0, x1, y1))
+    d_signed = jnp.where(inside, dmin, -dmin)
+    cov = jnp.clip(d_signed * (0.25 * inv_sigma) + 0.5, 0.0, _COV_CAP)
+    return w0, w1, w2, zpix, cov, degen
+
+
 def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
-                       *, t: int, K: int, C: int, tx: int, inv_sigma: float,
-                       znear: float, zfar: float):
+                       zbest_ref, *, t: int, K: int, C: int, tx: int,
+                       inv_sigma: float, znear: float, zfar: float):
+    """Grid (T, K//C): chunk cc of tile p. The [9, C] geometry chunk is
+    streamed into SMEM by the BlockSpec index map; the face loop runs to the
+    tile's TRUE count (scalar prefetch), reading per-face scalars from SMEM
+    and doing [t,t] vector math — inactive chunks cost nothing. Per-tile
+    state lives in the output blocks, whose index is constant in cc, so they
+    stay resident in VMEM across a tile's chunk steps."""
     p = pl.program_id(0)
+    cc = pl.program_id(1)
     count = counts_ref[p]
     y0 = ((p // tx) * t).astype(jnp.float32)
     x0 = ((p % tx) * t).astype(jnp.float32)
-    # Mosaic iota must be integer-typed; cast after
     uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
     vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
 
     big = jnp.float32(3.0e38)
-    big_i = jnp.int32(K + 1)
-    init = (
-        jnp.full((t, t), big, jnp.float32),      # best z
-        jnp.full((t, t), -1, jnp.int32),         # best slot
-        jnp.zeros((t, t), jnp.float32),          # best w1
-        jnp.zeros((t, t), jnp.float32),          # best w2
-        jnp.ones((t, t), jnp.float32),           # visibility product
-    )
 
-    def body(cc, state):
-        best_z, best_s, best_w1, best_w2, vis = state
-        g = geom_ref[0, :, pl.ds(cc * C, C)].astype(jnp.float32)  # [9, C]
-        w0, w1, w2, zpix, cov, degen = _chunk_geometry(g, uu, vv, inv_sigma)
+    @pl.when(cc == 0)
+    def _init():
+        zbest_ref[0] = jnp.full((t, t), big, jnp.float32)
+        slot_ref[0] = jnp.full((t, t), -1, jnp.int32)
+        w1_ref[0] = jnp.zeros((t, t), jnp.float32)
+        w2_ref[0] = jnp.zeros((t, t), jnp.float32)
+        vis_ref[0] = jnp.ones((t, t), jnp.float32)
 
-        slot_ids = cc * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1, 1), 0)
-        valid_f = slot_ids < count                                # [C,1,1]
-        usable = valid_f & ~degen[:, None, None]
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        hit = inside & usable & (zpix > znear) & (zpix < zfar)
+    @pl.when(cc * C < count)
+    def _active():
+        n_faces = jnp.minimum(count - cc * C, C)
 
-        zc = jnp.where(hit, zpix, big)
-        zmin = jnp.min(zc, axis=0)                                # [t,t]
-        # unique winner: smallest slot among the chunk's z-minimizers
-        cand = jnp.where((zc == zmin[None]) & hit,
-                         jnp.broadcast_to(slot_ids, zc.shape), big_i)
-        slot_sel = jnp.min(cand, axis=0).astype(jnp.int32)        # [t,t]
-        winner = (jnp.broadcast_to(slot_ids, zc.shape) == slot_sel[None]) & hit
-        wf = winner.astype(jnp.float32)
-        w1_sel = jnp.sum(w1 * wf, axis=0)
-        w2_sel = jnp.sum(w2 * wf, axis=0)
+        def body(f, state):
+            best_z, best_s, best_w1, best_w2, vis = state
+            gs = [geom_ref[0, j, f] for j in range(9)]
+            w0, w1, w2, zpix, cov, degen = _face_geometry(gs, uu, vv, inv_sigma)
+            ok = jnp.logical_not(degen)
+            hit = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0) & ok
+                   & (zpix > znear) & (zpix < zfar))
+            take = hit & (zpix < best_z)
+            slot = cc * C + f
+            best_z = jnp.where(take, zpix, best_z)
+            best_s = jnp.where(take, slot, best_s)
+            best_w1 = jnp.where(take, w1, best_w1)
+            best_w2 = jnp.where(take, w2, best_w2)
+            vis = vis * (1.0 - jnp.where(ok, cov, 0.0))
+            return best_z, best_s, best_w1, best_w2, vis
 
-        take = zmin < best_z
-        best_w1 = jnp.where(take, w1_sel, best_w1)
-        best_w2 = jnp.where(take, w2_sel, best_w2)
-        best_s = jnp.where(take, slot_sel, best_s)
-        best_z = jnp.where(take, zmin, best_z)
-
-        cov = jnp.where(usable, cov, 0.0)
-        # Mosaic has no reduce_prod; C is static, unroll the product
-        for ci in range(C):
-            vis = vis * (1.0 - cov[ci])
-        return best_z, best_s, best_w1, best_w2, vis
-
-    nchunks = pl.cdiv(count, C)
-    _, best_s, best_w1, best_w2, vis = jax.lax.fori_loop(0, nchunks, body, init)
-    w1_ref[0] = best_w1
-    w2_ref[0] = best_w2
-    slot_ref[0] = best_s
-    vis_ref[0] = vis
+        state = (zbest_ref[0], slot_ref[0], w1_ref[0], w2_ref[0], vis_ref[0])
+        best_z, best_s, best_w1, best_w2, vis = jax.lax.fori_loop(
+            0, n_faces, body, state)
+        zbest_ref[0] = best_z
+        slot_ref[0] = best_s
+        w1_ref[0] = best_w1
+        w2_ref[0] = best_w2
+        vis_ref[0] = vis
 
 
 def _raster_bwd_kernel(counts_ref, geom_ref, slot_ref, vis_ref, gw1_ref,
                        gw2_ref, gvis_ref, dgeom_ref, *, t: int, K: int, C: int,
                        tx: int, inv_sigma: float):
     p = pl.program_id(0)
+    cc = pl.program_id(1)
     count = counts_ref[p]
     y0 = ((p // tx) * t).astype(jnp.float32)
     x0 = ((p % tx) * t).astype(jnp.float32)
-    # Mosaic iota must be integer-typed; cast after
     uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
     vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
 
-    slot_grid = slot_ref[0]                     # [t,t] int32
-    vis = vis_ref[0]
-    gvis = gvis_ref[0]
-    gw1 = gw1_ref[0]
-    gw2 = gw2_ref[0]
+    dgeom_ref[0] = jnp.zeros((9, C), jnp.float32)
 
-    dgeom_ref[0] = jnp.zeros((9, K), jnp.float32)
+    @pl.when(cc * C < count)
+    def _active():
+        n_faces = jnp.minimum(count - cc * C, C)
+        slot_grid = slot_ref[0]
+        vis = vis_ref[0]
+        gvis = gvis_ref[0]
+        gw1 = gw1_ref[0]
+        gw2 = gw2_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-    def body(cc, _):
-        g = geom_ref[0, :, pl.ds(cc * C, C)].astype(jnp.float32)
+        def body(f, acc):
+            gs = tuple(geom_ref[0, j, f] for j in range(9))
 
-        def chunk_fn(g):
-            w0, w1, w2, zpix, cov, degen = _chunk_geometry(g, uu, vv, inv_sigma)
-            slot_ids = cc * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1, 1), 0)
-            usable = (slot_ids < count) & ~degen[:, None, None]
-            cov = jnp.where(usable, cov, 0.0)
-            return w1, w2, cov
+            def face_fn(*gs):
+                w0, w1, w2, zpix, cov, degen = _face_geometry(
+                    gs, uu, vv, inv_sigma)
+                cov = jnp.where(degen, 0.0, cov)
+                return w1, w2, cov
 
-        (w1, w2, cov), vjp_fn = jax.vjp(chunk_fn, g)
-        slot_ids = cc * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1, 1), 0)
-        winner = slot_grid[None] == jnp.broadcast_to(slot_ids,
-                                                     (C, t, t))
-        wf = winner.astype(jnp.float32)
-        gw1c = gw1[None] * wf
-        gw2c = gw2[None] * wf
-        # d vis / d cov_f = -prod_{g!=f}(1-cov_g) = -vis / (1-cov_f)
-        gcovc = gvis[None] * (-vis[None] / (1.0 - cov))
-        (dg,) = vjp_fn((gw1c, gw2c, gcovc))
-        dgeom_ref[0, :, pl.ds(cc * C, C)] = dg
-        return 0
+            (w1, w2, cov), vjp_fn = jax.vjp(face_fn, *gs)
+            winner = (slot_grid == cc * C + f).astype(jnp.float32)
+            gw1c = gw1 * winner
+            gw2c = gw2 * winner
+            # d vis / d cov_f = -prod_{g!=f}(1-cov_g) = -vis / (1-cov_f)
+            gcovc = gvis * (-vis / (1.0 - cov))
+            dgs = vjp_fn((gw1c, gw2c, gcovc))
+            # scatter the 9 scalar grads into lane f via a one-hot mask
+            onehot = (lane == f).astype(jnp.float32)
+            return tuple(acc[j] + dgs[j] * onehot for j in range(9))
 
-    nchunks = pl.cdiv(count, C)
-    jax.lax.fori_loop(0, nchunks, body, 0)
+        acc0 = tuple(jnp.zeros((1, C), jnp.float32) for _ in range(9))
+        acc = jax.lax.fori_loop(0, n_faces, body, acc0)
+        dgeom_ref[0] = jnp.concatenate(acc, axis=0)
 
 
 @functools.lru_cache(maxsize=16)
 def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
                          znear: float, zfar: float):
-    """Factory: custom-vjp tile rasterizer closed over the static meta."""
-    C = _PC
+    """Factory: custom-vjp tile rasterizer closed over the static meta.
+
+    Grid (T, K // C): the geometry is streamed chunk-by-chunk through
+    BlockSpec index maps (last grid dim fastest, so a tile's chunks are
+    consecutive and the per-tile output blocks stay resident in VMEM)."""
+    C = _PCHUNK
+    NC = K // C
+
+    tile_specs = [pl.BlockSpec((1, t, t), lambda p, cc, c: (p, 0, 0),
+                               memory_space=pltpu.VMEM) for _ in range(6)]
 
     fwd_call = pl.pallas_call(
         partial(_raster_fwd_kernel, t=t, K=K, C=C, tx=tx,
                 inv_sigma=inv_sigma, znear=znear, zfar=zfar),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(T,),
+            grid=(T, NC),
             in_specs=[
-                pl.BlockSpec((1, 9, K), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, C), lambda p, cc, c: (p, 0, cc),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
+                tile_specs[0], tile_specs[1], tile_specs[2], tile_specs[3],
+                tile_specs[4],
             ),
         ),
         out_shape=(
@@ -316,29 +357,23 @@ def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
             jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # w2
             jax.ShapeDtypeStruct((T, t, t), jnp.int32),     # slot
             jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # vis
+            jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # zbest (scratch out)
         ),
     )
 
     bwd_call = pl.pallas_call(
-        partial(_raster_bwd_kernel, t=t, K=K, C=C, tx=tx, inv_sigma=inv_sigma),
+        partial(_raster_bwd_kernel, t=t, K=K, C=C, tx=tx,
+                inv_sigma=inv_sigma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(T,),
+            grid=(T, NC),
             in_specs=[
-                pl.BlockSpec((1, 9, K), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, t, t), lambda p, c: (p, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 9, C), lambda p, cc, c: (p, 0, cc),
+                             memory_space=pltpu.SMEM),
+                tile_specs[0], tile_specs[1], tile_specs[2], tile_specs[3],
+                tile_specs[4],
             ],
-            out_specs=pl.BlockSpec((1, 9, K), lambda p, c: (p, 0, 0),
+            out_specs=pl.BlockSpec((1, 9, C), lambda p, cc, c: (p, 0, cc),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((T, 9, K), jnp.float32),
@@ -346,7 +381,7 @@ def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
 
     @jax.custom_vjp
     def raster_tiles(geom, counts):
-        w1, w2, slot, vis = fwd_call(counts, geom)
+        w1, w2, slot, vis, _zbest = fwd_call(counts, geom)
         return w1, w2, slot, vis
 
     def raster_tiles_fwd(geom, counts):
@@ -371,7 +406,7 @@ def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
     H, W = camera.height, camera.width
     tile = _PT
     F = tri.shape[0]
-    K = max(_PC, ((faces_per_tile + _PC - 1) // _PC) * _PC)
+    K = max(_PCHUNK, ((faces_per_tile + _PCHUNK - 1) // _PCHUNK) * _PCHUNK)
 
     tile_faces, counts, _, _, ty, tx = _bin_faces(
         tri, valid, H, W, tile, K, sigma_px)

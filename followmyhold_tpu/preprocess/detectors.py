@@ -110,9 +110,10 @@ class LearnedBundle:
     assets_root()/params/ (see followmyhold_tpu.convert)."""
 
     def __init__(self):
+        import jax
         import jax.numpy as jnp
 
-        from followmyhold_tpu.models.gdino import GDinoConfig, GroundingDetector
+        from followmyhold_tpu.models.gdino import GDINO_BASE, GroundingDino
         from followmyhold_tpu.models.hand_object_detector import FrcnnConfig, HandObjectDetector
         from followmyhold_tpu.models.sam import Sam, SamConfig
         from followmyhold_tpu.models.yolo_hand import YoloConfig, YoloHand
@@ -120,17 +121,26 @@ class LearnedBundle:
 
         self.yolo = YoloHand(YoloConfig())
         self.frcnn = HandObjectDetector(FrcnnConfig())
-        self.gdino = GroundingDetector(GDinoConfig())
+        self.gdino = GroundingDino(GDINO_BASE)
         self.sam = Sam(SamConfig())
         self.yolo_params = load_or_init(
             "yolo_hand", lambda k: self.yolo.init(k, jnp.zeros((1, 64, 64, 3))))
         self.frcnn_params = load_or_init(
             "hand_object_detector",
             lambda k: self.frcnn.init(k, jnp.zeros((64, 64, 3))))
-        self.gdino_params = load_or_init(
-            "gdino", lambda k: self.gdino.init(
-                k, jnp.zeros((1, *self.gdino.cfg.image_encoder.img_size, 3)),
-                jnp.zeros((1, self.gdino.cfg.max_text_len), jnp.int32)))
+
+        def _init_gdino(k):
+            c = self.gdino.cfg
+            T = 8
+            return self.gdino.init(
+                k, pixel_values=jnp.zeros((1, c.image_size, c.image_size, 3)),
+                input_ids=jnp.zeros((1, T), jnp.int32),
+                token_type_ids=jnp.zeros((1, T), jnp.int32),
+                text_self_attention_masks=jnp.ones((1, T, T), bool),
+                position_ids=jnp.zeros((1, T), jnp.int32),
+                text_token_mask=jnp.ones((1, T), bool))
+
+        self.gdino_params = load_or_init("gdino", _init_gdino)
         self.sam_params = load_or_init(
             "sam", lambda k: self.sam.init(
                 k, jnp.zeros((1, *self.sam.cfg.encoder.img_size, 3)),
@@ -156,12 +166,13 @@ class LearnedBundle:
         from followmyhold_tpu.models.gdino import detect_text_prompt
         from followmyhold_tpu.models.sam import segment_box
 
-        dets = detect_text_prompt(self.gdino, self.gdino_params, image_rgb, prompt)
-        if not dets:
+        boxes, scores = detect_text_prompt(self.gdino, self.gdino_params,
+                                           image_rgb, prompt)
+        if len(boxes) == 0:
             return np.zeros(image_rgb.shape[:2], bool)
         mask = np.zeros(image_rgb.shape[:2], bool)
-        for d in dets[:1]:
-            mask |= segment_box(self.sam, self.sam_params, image_rgb, d["box"])
+        for box in boxes[:1]:
+            mask |= segment_box(self.sam, self.sam_params, image_rgb, box)
         return mask
 
 

@@ -224,3 +224,80 @@ def test_moge_scale_head_mlp_matches_reference(torch):
         h = np.maximum(h @ sd[f"{2 * i}.weight"].T + sd[f"{2 * i}.bias"], 0.0)
     out = h @ sd["4.weight"].T + sd["4.bias"]
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# GroundingDINO: full tiny-model forward vs HF transformers
+# --------------------------------------------------------------------------- #
+
+def test_gdino_matches_hf_reference(torch):
+    from transformers import BertConfig as HFBertConfig
+    from transformers import GroundingDinoConfig as HFGDinoConfig
+    from transformers import GroundingDinoForObjectDetection
+    from transformers import SwinConfig as HFSwinConfig
+
+    hf_swin = HFSwinConfig(image_size=64, patch_size=4, embed_dim=16,
+                           depths=[1, 1, 1], num_heads=[1, 2, 4], window_size=4,
+                           out_features=["stage2", "stage3"])
+    hf_bert = HFBertConfig(vocab_size=2048, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=64)
+    hf_cfg = HFGDinoConfig(backbone_config=hf_swin, text_config=hf_bert,
+                           d_model=32, encoder_layers=1, decoder_layers=2,
+                           encoder_attention_heads=2, decoder_attention_heads=2,
+                           encoder_ffn_dim=64, decoder_ffn_dim=64,
+                           num_queries=12, num_feature_levels=3,
+                           encoder_n_points=2, decoder_n_points=2,
+                           max_text_len=16)
+    torch.manual_seed(3)
+    hf = GroundingDinoForObjectDetection(hf_cfg)
+    hf.eval()
+
+    rng = np.random.default_rng(7)
+    pix = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    # ids with [CLS] ... '.' ... [SEP] so the special-token masking is exercised
+    ids = np.asarray([[101, 7, 8, 1012, 9, 10, 11, 102]], np.int64)
+    with torch.no_grad():
+        out_t = hf(pixel_values=torch.from_numpy(pix),
+                   input_ids=torch.from_numpy(ids))
+    ref_logits = out_t.logits.numpy()
+    ref_boxes = out_t.pred_boxes.numpy()
+
+    # ---- convert + run ours ----
+    import jax
+    from followmyhold_tpu.convert.gdino import convert_gdino
+    from followmyhold_tpu.models import gdino as G
+
+    import dataclasses as _dc
+
+    cfg = G.GroundingDinoConfig(
+        swin=G.SWIN_TINY_TEST,
+        bert=_dc.replace(G.BERT_TINY_TEST, vocab_size=2048), d_model=32,
+        num_queries=12, encoder_layers=1, decoder_layers=2, encoder_heads=2,
+        decoder_heads=2, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        num_feature_levels=3, encoder_n_points=2, decoder_n_points=2,
+        max_text_len=16, image_size=64)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params, report = convert_gdino(sd, cfg)
+    assert not report.missing_src, report.missing_src[:8]
+    assert not report.unused_src, report.unused_src[:8]
+
+    attn, pos_ids = G.generate_special_token_masks(ids)
+    model = G.GroundingDino(cfg)
+    out = model.apply(
+        params,
+        pixel_values=jnp.asarray(np.transpose(pix, (0, 2, 3, 1))),
+        input_ids=jnp.asarray(ids, jnp.int32),
+        token_type_ids=jnp.zeros_like(jnp.asarray(ids, jnp.int32)),
+        text_self_attention_masks=jnp.asarray(attn),
+        position_ids=jnp.asarray(pos_ids, jnp.int32),
+        text_token_mask=jnp.ones_like(jnp.asarray(ids), dtype=bool),
+    )
+    logits = np.asarray(out["logits"])
+    boxes = np.asarray(out["pred_boxes"])
+
+    finite = np.isfinite(ref_logits)
+    assert (np.isfinite(logits) == finite).all()
+    np.testing.assert_allclose(logits[finite], ref_logits[finite],
+                               atol=2e-3)
+    np.testing.assert_allclose(boxes, ref_boxes, atol=2e-3)

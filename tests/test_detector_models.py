@@ -5,13 +5,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from followmyhold_tpu.models.flux_inpaint import FLUX_TINY, FluxInpainter, inpaint
-from followmyhold_tpu.models.gdino import (
-    GDINO_TINY,
-    GroundingDetector,
-    detect_text_prompt,
+from followmyhold_tpu.models.flux_inpaint import (
+    FLUX_TINY,
+    FluxInpainter,
+    inpaint,
     tokenize_bytes,
 )
+from followmyhold_tpu.models.gdino import GDINO_TINY, detect_text_prompt
 from followmyhold_tpu.models.hand_object_detector import (
     FRCNN_TINY,
     HandObjectDetector,
@@ -112,17 +112,24 @@ def test_sam_segment_box():
 
 
 def test_gdino_detect():
-    model = GroundingDetector(GDINO_TINY)
-    img = jnp.ones((1, 56, 56, 3)) * 0.5
-    toks = jnp.asarray(tokenize_bytes("cup", 16))[None]
-    params = model.init(jax.random.key(0), img, toks)
-    boxes, logits = model.apply(params, img, toks)
-    assert boxes.shape == (1, GDINO_TINY.num_queries, 4)
-    assert float(boxes.min()) >= 0 and float(boxes.max()) <= 1
-    dets = detect_text_prompt(model, params, np.full((80, 60, 3), 100, np.uint8),
-                              "cup", box_threshold=0.0)
-    assert len(dets) >= 1
-    assert dets[0]["box"].shape == (4,)
+    from followmyhold_tpu.models.gdino import (
+        GroundingDino,
+        preprocess_inputs,
+        simple_tokenize,
+    )
+
+    model = GroundingDino(GDINO_TINY)
+    ids = simple_tokenize("cup.", 16, vocab_size=GDINO_TINY.bert.vocab_size)
+    img = np.full((80, 60, 3), 100, np.uint8)
+    kwargs = preprocess_inputs(img, ids, GDINO_TINY.image_size)
+    params = model.init(jax.random.key(0), **kwargs)
+    out = model.apply(params, **kwargs)
+    assert out["pred_boxes"].shape == (1, GDINO_TINY.num_queries, 4)
+    assert float(out["pred_boxes"].min()) >= 0
+    assert float(out["pred_boxes"].max()) <= 1
+    boxes, scores = detect_text_prompt(model, params, img, "cup",
+                                       box_threshold=0.0)
+    assert boxes.shape[1] == 4 and len(boxes) == len(scores)
 
 
 def test_flux_inpaint_composites_unmasked():
