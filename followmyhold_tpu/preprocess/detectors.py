@@ -115,14 +115,14 @@ class LearnedBundle:
 
         from followmyhold_tpu.models.gdino import GDINO_BASE, GroundingDino
         from followmyhold_tpu.models.hand_object_detector import FrcnnConfig, HandObjectDetector
-        from followmyhold_tpu.models.sam import Sam, SamConfig
+        from followmyhold_tpu.models.sam2 import SAM2_LARGE, Sam2
         from followmyhold_tpu.models.yolo_hand import YoloConfig, YoloHand
         from followmyhold_tpu.utils.params import load_or_init
 
         self.yolo = YoloHand(YoloConfig())
         self.frcnn = HandObjectDetector(FrcnnConfig())
         self.gdino = GroundingDino(GDINO_BASE)
-        self.sam = Sam(SamConfig())
+        self.sam = Sam2(SAM2_LARGE)
         self.yolo_params = load_or_init(
             "yolo_hand", lambda k: self.yolo.init(k, jnp.zeros((1, 64, 64, 3))))
         self.frcnn_params = load_or_init(
@@ -142,8 +142,9 @@ class LearnedBundle:
 
         self.gdino_params = load_or_init("gdino", _init_gdino)
         self.sam_params = load_or_init(
-            "sam", lambda k: self.sam.init(
-                k, jnp.zeros((1, *self.sam.cfg.encoder.img_size, 3)),
+            "sam2", lambda k: self.sam.init(
+                k, jnp.zeros((1, self.sam.cfg.image_size,
+                              self.sam.cfg.image_size, 3)),
                 jnp.zeros((1, 4))))
 
     def detect_hands(self, image_rgb: np.ndarray) -> List[Detection]:
@@ -164,7 +165,7 @@ class LearnedBundle:
 
     def segment(self, image_rgb: np.ndarray, prompt: str) -> np.ndarray:
         from followmyhold_tpu.models.gdino import detect_text_prompt
-        from followmyhold_tpu.models.sam import segment_box
+        from followmyhold_tpu.models.sam2 import segment_box
 
         boxes, scores = detect_text_prompt(self.gdino, self.gdino_params,
                                            image_rgb, prompt)
@@ -182,7 +183,7 @@ def default_bundle() -> DetectorBundle:
     from followmyhold_tpu.utils.params import has_params
 
     learned_ready = all(has_params(n) for n in
-                        ("yolo_hand", "hand_object_detector", "gdino", "sam"))
+                        ("yolo_hand", "hand_object_detector", "gdino", "sam2"))
     if learned_ready:
         return LearnedBundle()
     return HeuristicBundle()
