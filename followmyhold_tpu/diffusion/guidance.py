@@ -528,6 +528,72 @@ class GuidedSampler:
         return GuidanceResult(latents=latents, noise_pred=noise_pred,
                               hand=hand, obj=obj, losses=loss_log)
 
+    def run_batch(
+        self,
+        dit_params,
+        vae_params,
+        cond_main: jnp.ndarray,     # [B,1,M,C]
+        uncond_main: jnp.ndarray,   # [B,1,M,C]
+        targets: GuidanceTargets,   # leaves stacked along a leading batch dim
+        keys: jax.Array,            # [B] PRNG keys
+        latent_shape: Tuple[int, int],
+        mesh=None,                  # jax.sharding.Mesh with a "dp" axis
+    ) -> GuidanceResult:
+        """Data-parallel batched run: every phase is vmapped over the image
+        batch; with a mesh, the batch dim is sharded over dp (replacing the
+        reference's SLURM arrays, SURVEY §2d). Weights stay replicated
+        (per-image graphs are independent — no collectives needed)."""
+        cfg = self.config
+        n = cfg.num_inference_steps
+        B = cond_main.shape[0]
+        sched = make_schedule(sigmas=np.linspace(0, 1, n))
+        latents = jax.vmap(
+            lambda k: jax.random.normal(k, (1, *latent_shape), jnp.float32)
+        )(keys)
+        hand = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B, *x.shape)), init_pose())
+        obj = hand
+        cond_cat = jnp.concatenate([cond_main, uncond_main], axis=1)  # [B,2,M,C]
+
+        hand_phase, obj_phase, joint_phase, advance, dit_step = _jitted_batch_phases(self)
+
+        shard = None
+        if mesh is not None and "dp" in mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("dp"))
+            put = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, shard), tree)
+            latents, hand, obj, cond_cat, targets = map(
+                put, (latents, hand, obj, cond_cat, targets))
+
+        loss_log: dict = {}
+        noise_pred = jnp.zeros_like(latents)
+        for i in range(n):
+            if i >= cfg.guidance_start_step + 1:
+                g = cfg.obj_guidance_scale * (1 - i / n)
+            else:
+                g = cfg.obj_guidance_scale
+            noise_pred = dit_step(dit_params, cond_cat, latents,
+                                  sched.timesteps[i] / sched.num_train_timesteps,
+                                  g)
+            if i == cfg.handopt_start_step:
+                hand, hl = hand_phase(hand, targets)
+                loss_log["hand"] = hl
+            elif i == cfg.handopt_start_step + 1:
+                obj, noise_pred, ol = obj_phase(
+                    obj, noise_pred, latents, vae_params, targets, sched, i)
+                loss_log["obj"] = ol
+            elif i >= cfg.handopt_start_step + 2:
+                hand, obj, noise_pred, jl = joint_phase(
+                    hand, obj, noise_pred, latents, vae_params, targets, sched,
+                    i, bool(i >= n - 3))
+                loss_log[f"joint_{i}"] = jl
+            latents = advance(sched, i, noise_pred, latents)
+
+        return GuidanceResult(latents=latents, noise_pred=noise_pred,
+                              hand=hand, obj=obj, losses=loss_log)
+
     def _debug_mesh_dump(self, debug, tag, vae_params, noise_pred, latents,
                          sched, step_i):
         """Decode the current x1 estimate at in-loop resolution and dump it."""
@@ -612,3 +678,38 @@ def _jitted_phases(sampler: "GuidedSampler"):
         return eps_u + g_scale * (eps_c - eps_u)
 
     return hand_phase, obj_phase, joint_phase, advance, dit_step
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_batch_phases(sampler: "GuidedSampler"):
+    """Batched (vmapped-over-images) variants of the jitted phases. Weights
+    and the schedule broadcast (in_axes None); everything per-image maps."""
+    hand_phase = jax.jit(jax.vmap(sampler._hand_phase))
+    obj_phase = jax.jit(jax.vmap(
+        sampler._obj_phase, in_axes=(0, 0, 0, None, 0, None, None)),
+        static_argnums=())
+    joint_phase = jax.jit(
+        jax.vmap(sampler._joint_phase,
+                 in_axes=(0, 0, 0, 0, None, 0, None, None, None)),
+        static_argnames=(),
+    )
+
+    def _joint(h, o, n, lat, vp, tg, sched, i, near_end):
+        return joint_phase(h, o, n, lat, vp, tg, sched, i, near_end)
+
+    @jax.jit
+    def advance(sched, i, eps, lat):
+        return jax.vmap(lambda e, l: step(sched, i, e, l)[0])(eps, lat)
+
+    @jax.jit
+    def dit_step(dp, cond, lat, t, g_scale):
+        def one(cond_i, lat_i):
+            lat_in = jnp.concatenate([lat_i, lat_i], axis=0)
+            tt = jnp.full((2,), t, lat_i.dtype)
+            eps = sampler.dit.apply(dp, lat_in, tt, cond_i)
+            eps_c, eps_u = jnp.split(eps, 2, axis=0)
+            return eps_u + g_scale * (eps_c - eps_u)
+
+        return jax.vmap(one)(cond, lat)
+
+    return hand_phase, obj_phase, _joint, advance, dit_step

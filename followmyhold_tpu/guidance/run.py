@@ -22,7 +22,11 @@ from PIL import Image
 
 from followmyhold_tpu.configs.guidance import OptimizationConfig
 from followmyhold_tpu.configs.profiles import guidance_mesh_caps, optimization_config
-from followmyhold_tpu.diffusion.guidance import GuidanceTargets, GuidedSampler
+from followmyhold_tpu.diffusion.guidance import (
+    GuidanceResult,
+    GuidanceTargets,
+    GuidedSampler,
+)
 from followmyhold_tpu.geometry.hunyuan import build_models, encode_condition
 from followmyhold_tpu.geometry.postprocess import (
     reduce_faces,
@@ -163,6 +167,73 @@ def run_hunyuan_w_guid(
     return (verts, faces), np.asarray(hand_verts)
 
 
+def run_batch_images(image_jobs, config: OptimizationConfig, models,
+                     j_regressor: Optional[np.ndarray] = None,
+                     mesh=None) -> None:
+    """Batched guidance over several images at once: one vmapped (and, with a
+    mesh, dp-sharded) sampler run replaces the serial per-image loop —
+    the TPU-native version of the reference's SLURM image sharding
+    (guidance/run.py:178-185). image_jobs: list of dicts with the per-image
+    artifact paths (keys mirror run_hunyuan_w_guid's arguments)."""
+    (dit, dit_params), (vae, vae_params), (cond, cond_params) = models
+    if j_regressor is None:
+        j_regressor = np.asarray(load_mano().j_regressor)
+
+    per_image = []
+    conds = []
+    keys = []
+    for job in image_jobs:
+        hand_mask = _load_mask(job["cropped_hand_mask_path"])
+        obj_mask = _load_mask(job["cropped_obj_mask_path"])
+        H, W = hand_mask.shape
+        camera = GuidanceCamera(height=H, width=W, fov_deg=float(job["fovx"]))
+        targets = build_targets(
+            camera, job["aligned_mano_mesh_path"], job["T_h2m_path"],
+            job["moge_mesh_path"], hand_mask, obj_mask,
+            job["hamer_for_guid_path"], j_regressor)
+        per_image.append((camera, targets))
+        rgba = np.asarray(Image.open(job["cropped_obj_img_path"]).convert("RGBA"))
+        conds.append(encode_condition(cond, cond_params, rgba))
+        image_id = os.path.basename(job["cropped_obj_img_path"]).split("_")[0]
+        keys.append(stage_key(SEED_GUIDANCE, "guidance", image_id))
+
+    camera = per_image[0][0]      # one jitted graph: same crop size across jobs
+    targets_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[t for _, t in per_image])
+    cond_b = jnp.stack([c for c, _ in conds])
+    uncond_b = jnp.stack([u for _, u in conds])
+    keys_b = jnp.stack(keys)
+
+    sampler = GuidedSampler(dit=dit, vae=vae, camera=camera, config=config,
+                            **guidance_mesh_caps())
+    result = sampler.run_batch(dit_params, vae_params, cond_b, uncond_b,
+                               targets_b, keys_b,
+                               (vae.cfg.num_latents, vae.cfg.embed_dim),
+                               mesh=mesh)
+
+    for b, job in enumerate(image_jobs):
+        res_i = GuidanceResult(
+            latents=result.latents[b], noise_pred=result.noise_pred[b],
+            hand=jax.tree_util.tree_map(lambda x: x[b], result.hand),
+            obj=jax.tree_util.tree_map(lambda x: x[b], result.obj))
+        tgt_i = jax.tree_util.tree_map(lambda x: x[b], per_image[b][1])
+        obj_mesh, hand_verts = sampler.export_meshes(
+            vae_params, res_i, tgt_i,
+            octree_resolution=config.final_octree_resolution)
+        nv, nf = int(obj_mesh.num_verts), int(obj_mesh.num_faces)
+        if nv == 0:
+            print(f"Empty mesh for {job['cropped_obj_img_path']}")
+            continue
+        verts = np.asarray(obj_mesh.verts)[:nv]
+        faces = np.asarray(obj_mesh.faces)[:nf]
+        verts, faces = remove_floaters(verts, faces)
+        verts, faces = remove_degenerate_faces(verts, faces)
+        verts, faces = reduce_faces(verts, faces)
+        write_ply(job["save_path_obj"], verts, faces)
+        write_ply(job["save_path_hand"], np.asarray(hand_verts),
+                  np.asarray(tgt_i.mano_faces))
+
+
 def _load_task_list(task_list_file: Optional[str], cropped_obj_img_dir: str) -> List[str]:
     """SLURM-array compatibility (reference run.py:178-185)."""
     if task_list_file and os.path.exists(task_list_file):
@@ -186,6 +257,7 @@ def run(
     task_list_file: Optional[str] = None,
     shard_index: int = 0,
     shard_count: int = 1,
+    batch_size: int = 1,
 ) -> None:
     config = optimization_config()
     os.makedirs(guidance_out_dir, exist_ok=True)
@@ -196,6 +268,13 @@ def run(
     models = build_models()
     j_reg_path = os.path.join(hamer_out_dir, "J_regressor_hamer.npy")
     j_regressor = np.load(j_reg_path) if os.path.exists(j_reg_path) else None
+
+    if batch_size > 1:
+        _run_batched(assigned, batch_size, config, models, j_regressor,
+                     cropped_obj_img_dir, mask_dir, moge_out_dir,
+                     hunyuan_hoi_mesh_dir, hamer_out_dir, h2m_rt_dir,
+                     aligned_mano_dir, guidance_out_dir)
+        return
 
     for name in assigned:
         try:
@@ -246,6 +325,75 @@ def run(
     print("Finished processing all images")
 
 
+def _job_paths(name, cropped_obj_img_dir, mask_dir, moge_out_dir,
+               hunyuan_hoi_mesh_dir, hamer_out_dir, h2m_rt_dir,
+               aligned_mano_dir, guidance_out_dir):
+    image_id = name.split("_")[0]
+    return dict(
+        cropped_obj_img_path=os.path.join(cropped_obj_img_dir, name),
+        cropped_hand_mask_path=os.path.join(
+            mask_dir, f"{image_id}_cropped_hand_mask.png"),
+        cropped_obj_mask_path=os.path.join(
+            mask_dir, f"{image_id}_cropped_obj_mask.png"),
+        moge_mesh_path=os.path.join(
+            moge_out_dir, f"{image_id}_cropped_hoi/mesh.ply"),
+        moge_fov_path=os.path.join(
+            moge_out_dir, f"{image_id}_cropped_hoi/fov.json"),
+        T_h2m_path=os.path.join(h2m_rt_dir, f"{image_id}_hoi_mesh.npy"),
+        aligned_mano_mesh_path=os.path.join(
+            aligned_mano_dir, f"{image_id}_hamer_aligned_mano.ply"),
+        hamer_for_guid_path=os.path.join(
+            hamer_out_dir, f"{image_id}_kps_for_guidance.npy"),
+        save_path_obj=os.path.join(guidance_out_dir, f"{image_id}_obj.ply"),
+        save_path_hand=os.path.join(guidance_out_dir, f"{image_id}_hand.ply"),
+        image_id=image_id,
+    )
+
+
+def _run_batched(assigned, batch_size, config, models, j_regressor, *dirs):
+    """Group runnable jobs into batches and drive run_batch_images; dp mesh
+    when multiple devices are visible."""
+    import jax as _jax
+
+    mesh = None
+    n_dev = len(_jax.devices())
+    if n_dev > 1:
+        from followmyhold_tpu.parallel import make_mesh
+
+        dp = min(n_dev, batch_size)
+        mesh = make_mesh(f"dp={dp}", _jax.devices()[:dp])
+
+    pending = []
+    for name in assigned:
+        job = _job_paths(name, *dirs)
+        if os.path.exists(job["save_path_obj"]) and os.path.exists(
+                job["save_path_hand"]):
+            print(f"{job['image_id']} already exists, skipping")
+            continue
+        needed = ("cropped_hand_mask_path", "cropped_obj_mask_path",
+                  "moge_mesh_path", "moge_fov_path", "T_h2m_path",
+                  "aligned_mano_mesh_path", "hamer_for_guid_path")
+        if not all(os.path.exists(job[k]) for k in needed):
+            print(f"Skipping {job['image_id']}: missing artifacts")
+            continue
+        if not (_load_mask(job["cropped_hand_mask_path"]).any()
+                and _load_mask(job["cropped_obj_mask_path"]).any()):
+            print(f"Skipping {job['image_id']} due to empty mask")
+            continue
+        with open(job["moge_fov_path"], "r", encoding="utf-8") as f:
+            job["fovx"] = float(json.load(f)["fov_x"])
+        pending.append(job)
+
+    for i in range(0, len(pending), batch_size):
+        batch = pending[i:i + batch_size]
+        try:
+            print("Batch:", [j["image_id"] for j in batch])
+            run_batch_images(batch, config, models, j_regressor, mesh=mesh)
+        except Exception as e:  # per-batch skip-and-continue
+            print(f"Error in batch {[j['image_id'] for j in batch]}: {e}")
+    print("Finished processing all images")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="Guided shape reconstruction")
     parser.add_argument("--project_root", required=True)
@@ -260,11 +408,14 @@ def main() -> None:
     parser.add_argument("--task_list_file", default=None)
     parser.add_argument("--shard_index", type=int, default=0)
     parser.add_argument("--shard_count", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="images per vmapped/dp-sharded sampler run")
     args = parser.parse_args()
     run(args.project_root, args.cropped_obj_img_dir, args.mask_dir,
         args.moge_out_dir, args.hunyuan_hoi_mesh_dir, args.hamer_out_dir,
         args.h2m_rt_dir, args.aligned_mano_dir, args.guidance_out_dir,
-        args.task_list_file, args.shard_index, args.shard_count)
+        args.task_list_file, args.shard_index, args.shard_count,
+        args.batch_size)
 
 
 if __name__ == "__main__":
