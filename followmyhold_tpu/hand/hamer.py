@@ -52,6 +52,62 @@ def _hand_bbox_from_mask(mask_path: Optional[str], img_hw) -> np.ndarray:
     return np.array([0, 0, W - 1, H - 1], np.float32)
 
 
+class VitPoseFrontEnd:
+    """ViTPose wholebody keypoints -> handed hand boxes (the reference's
+    detection front end, src/foho/hand/hamer.py:117-176, minus the ViTDet
+    person stage — the pipeline's own crops are the person region). Built
+    only when converted 'vitpose' weights exist."""
+
+    def __init__(self, pose_model=None, pose_params=None):
+        if pose_model is None:
+            from followmyhold_tpu.models.vitpose import ViTPose, ViTPoseConfig
+            from followmyhold_tpu.utils.params import load_or_init
+
+            pose_model = ViTPose(ViTPoseConfig())
+            ih, iw = pose_model.cfg.backbone.img_size
+            pose_params = load_or_init(
+                "vitpose",
+                lambda k: pose_model.init(k, jnp.zeros((1, ih, iw, 3))))
+        self.model = pose_model
+        self.params = pose_params
+
+    @classmethod
+    def maybe_build(cls) -> Optional["VitPoseFrontEnd"]:
+        from followmyhold_tpu.utils.params import has_params
+
+        return cls() if has_params("vitpose") else None
+
+    def hand_bbox(self, img01: np.ndarray, is_right: bool,
+                  conf_thresh: float = 0.5) -> Optional[np.ndarray]:
+        """img01: [H,W,3] in [0,1] -> xyxy box for the requested side, or
+        None when the keypoint block is not confident (reference requires >3
+        confident keypoints, hand/hamer.py:134-152)."""
+        import jax
+
+        from followmyhold_tpu.models.vitpose import (
+            hand_bboxes_from_wholebody,
+            heatmaps_to_keypoints,
+        )
+
+        H, W = img01.shape[:2]
+        ih, iw = self.model.cfg.backbone.img_size
+        patch = np.asarray(Image.fromarray(
+            (img01 * 255).astype(np.uint8)).resize((iw, ih)), np.float32) / 255.0
+        patch = (patch - IMAGENET_MEAN) / IMAGENET_STD
+        hm = self.model.apply(self.params, jnp.asarray(patch)[None])
+        kps = np.array(heatmaps_to_keypoints(hm, (ih, iw)))[0]
+        kps[:, 0] *= W / iw
+        kps[:, 1] *= H / ih
+        left, right = hand_bboxes_from_wholebody(kps, conf_thresh)
+        box = right if is_right else left
+        if box is None:
+            return None
+        # the reference rescales the keypoint-extent box before NMS/crop
+        # (hand/hamer.py:151: expands by 110%); keep the extent here — the
+        # ViTDetDataset math downstream applies its own 2.5x rescale
+        return box
+
+
 def _default_config() -> HamerConfig:
     if os.environ.get("FOHO_TPU_PROFILE", "full") == "tiny":
         from followmyhold_tpu.models.vit import ViTConfig
@@ -104,6 +160,8 @@ def run(
         print(f"No images found in {img_folder}")
         return
 
+    pose_front = VitPoseFrontEnd.maybe_build()
+
     for img_path in images:
         image_id, is_right = parse_cropped_hoi_name(img_path)
         out_npy = os.path.join(out_folder, f"{image_id}.npy")
@@ -115,10 +173,17 @@ def run(
         img = np.asarray(Image.open(img_path).convert("RGB"), np.float32) / 255.0
         H, W = img.shape[:2]
 
-        mask_path = None
-        if mask_dir:
-            mask_path = os.path.join(mask_dir, f"{image_id}_cropped_hand_mask.png")
-        box = _hand_bbox_from_mask(mask_path, (H, W))
+        # ViTPose front end when weights exist (reference hand/hamer.py:
+        # 117-176); mask-derived box otherwise
+        box = None
+        if pose_front is not None:
+            box = pose_front.hand_bbox(img, is_right)
+        if box is None:
+            mask_path = None
+            if mask_dir:
+                mask_path = os.path.join(
+                    mask_dir, f"{image_id}_cropped_hand_mask.png")
+            box = _hand_bbox_from_mask(mask_path, (H, W))
 
         # ViTDetDataset box math (vitdet_dataset.py:38-47)
         center = (box[:2] + box[2:]) / 2.0

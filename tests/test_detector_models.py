@@ -146,3 +146,36 @@ def test_flux_inpaint_composites_unmasked():
     # unmasked pixels preserved exactly
     np.testing.assert_allclose(out[0, 0, 0], 0.6, atol=1e-6)
     assert np.isfinite(out).all()
+
+
+def test_vitpose_front_end_hand_bbox():
+    """VitPoseFrontEnd: deterministic heatmaps -> handed hand boxes with
+    the reference's >3-confident-keypoints gate (hand/hamer.py:134-152)."""
+    from followmyhold_tpu.hand.hamer import VitPoseFrontEnd
+    from followmyhold_tpu.models.vitpose import (
+        NUM_WHOLEBODY_KPS,
+        RIGHT_HAND_SLICE,
+        VITPOSE_TINY,
+        ViTPose,
+    )
+
+    class FakePose:
+        cfg = ViTPose(VITPOSE_TINY).cfg
+
+        def apply(self, params, images):
+            B, H, W, _ = images.shape
+            h, w = H // 4, W // 4
+            hm = np.full((B, h, w, NUM_WHOLEBODY_KPS), -5.0, np.float32)
+            # right-hand block peaks in the lower-right quadrant
+            for i in range(RIGHT_HAND_SLICE.start, RIGHT_HAND_SLICE.stop):
+                hm[:, int(h * 0.75), int(w * 0.75), i] = 2.0
+            return jnp.asarray(hm)
+
+    fe = VitPoseFrontEnd(pose_model=FakePose(), pose_params={})
+    img = np.full((200, 160, 3), 0.5, np.float32)
+    box_r = fe.hand_bbox(img, is_right=True)
+    assert box_r is not None
+    # point-mass block -> degenerate-extent box at ~3/4 of the image
+    assert abs(box_r[0] - 160 * 0.75) < 12 and abs(box_r[1] - 200 * 0.75) < 12
+    # left hand block has no confident keypoints -> None (mask fallback)
+    assert fe.hand_bbox(img, is_right=False) is None

@@ -68,3 +68,55 @@ def test_profiling_spans():
         pass
     s = summary()
     assert "unit" in s and "     2" in s
+
+
+def test_eval_runner_compares_mesh_pairs(tmp_path):
+    """eval.run consumes split rows and scores pred-vs-ref mesh pairs."""
+    import csv
+    import json
+
+    import numpy as np
+
+    from followmyhold_tpu.eval.run import evaluate
+    from followmyhold_tpu.utils.mesh_io import write_ply
+
+    def icosphere(r, off):
+        t = np.linspace(0, np.pi, 12)
+        p = np.linspace(0, 2 * np.pi, 12)
+        tt, pp = np.meshgrid(t[1:-1], p[:-1], indexing="ij")
+        v = np.stack([r * np.sin(tt) * np.cos(pp), r * np.sin(tt) * np.sin(pp),
+                      r * np.cos(tt)], -1).reshape(-1, 3) + off
+        idx = np.arange(10 * 11).reshape(10, 11)
+        f = []
+        for i in range(9):
+            for j in range(10):
+                a, b, c, d = idx[i, j], idx[i + 1, j], idx[i + 1, (j + 1) % 11], idx[i, (j + 1) % 11]
+                f += [[a, b, c], [a, c, d]]
+        return v.astype(np.float32), np.asarray(f, np.int32)
+
+    split = tmp_path / "split.csv"
+    with open(split, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["img_id", "img_path"])
+        w.writerow(["7", "img/7.jpg"])
+        w.writerow(["8", "img/8.jpg"])
+
+    pred_dir = tmp_path / "pred"
+    ref_dir = tmp_path / "ref"
+    pred_dir.mkdir()
+    ref_dir.mkdir()
+    v, f = icosphere(0.1, np.zeros(3))
+    write_ply(str(pred_dir / "7_obj.ply"), v, f)
+    v2, f2 = icosphere(0.1, np.asarray([0.005, 0, 0]))
+    write_ply(str(ref_dir / "7_obj.ply"), v2, f2)
+    # row 8 has a prediction but no reference
+    write_ply(str(pred_dir / "8_obj.ply"), v, f)
+
+    report = tmp_path / "report.json"
+    out = evaluate(str(split), str(pred_dir), str(ref_dir), samples=2000,
+                   report_path=str(report))
+    s = out["summary"]
+    assert s["evaluated"] == 1 and s["missing_ref"] == 1
+    assert 0.0 < s["mean_chamfer"] < 0.02
+    assert 0.0 <= s["mean_f@10mm"] <= 1.0
+    assert json.load(open(report))["summary"]["evaluated"] == 1
