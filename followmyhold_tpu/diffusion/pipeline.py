@@ -7,7 +7,7 @@ decode -> (negated) SDF -> marching-tets mesh.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +37,15 @@ def denoise_latents(
     latent_shape: Tuple[int, int],
     num_inference_steps: int = 30,
     guidance_scale: float = 7.5,
+    initial_noise: Optional[jnp.ndarray] = None,  # [B, *latent_shape]
 ) -> jnp.ndarray:
     """The 30-step CFG sampling loop (pipelines.py:961-984) as lax.scan."""
     B = cond_main.shape[0]
     sched = make_schedule(sigmas=np.linspace(0, 1, num_inference_steps))
-    latents = jax.random.normal(key, (B, *latent_shape), jnp.float32)
+    if initial_noise is not None:
+        latents = initial_noise
+    else:
+        latents = jax.random.normal(key, (B, *latent_shape), jnp.float32)
     cond_cat = jnp.concatenate([cond_main, uncond_main], axis=0)
 
     def body(lat, i):

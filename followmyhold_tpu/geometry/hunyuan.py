@@ -116,39 +116,55 @@ def run(
         print(f"No images found in {image_dir}")
         return
 
+    # reference batches 5 images through the diffusion loop
+    # (geometry/hunyuan.py:89-95); decode/export stay per image
+    batch = 5
+    pending = []
     for img_path in images:
         image_id = os.path.basename(img_path).split("_")[0]
         out_path = os.path.join(save_dir, f"{image_id}_hoi_mesh.ply")
         if os.path.exists(out_path):
             print(f"{image_id} exists, skipping")
             continue
+        pending.append((img_path, image_id, out_path))
 
-        rgb = np.asarray(Image.open(img_path).convert("RGB"))
-        rgba = white_to_alpha(rgb)
-        cond_main, uncond_main = encode_condition(cond, cond_params, rgba)
+    for i in range(0, len(pending), batch):
+        group = pending[i:i + batch]
+        conds, unconds, keys = [], [], []
+        for img_path, image_id, _ in group:
+            rgb = np.asarray(Image.open(img_path).convert("RGB"))
+            rgba = white_to_alpha(rgb)
+            cm, um = encode_condition(cond, cond_params, rgba)
+            conds.append(cm[0])
+            unconds.append(um[0])
+            keys.append(stage_key(SEED_HUNYUAN, "hunyuan", image_id))
 
-        key = stage_key(SEED_HUNYUAN, "hunyuan", image_id)
+        # per-image keys keep exports identical to single-image runs
+        shape = (1, vae.cfg.num_latents, vae.cfg.embed_dim)
+        noise = jnp.concatenate(
+            [jax.random.normal(k, shape) for k in keys], axis=0)
         latents = denoise_latents(
-            dit, dit_params, cond_main, uncond_main, key,
+            dit, dit_params, jnp.stack(conds), jnp.stack(unconds), keys[0],
             latent_shape=(vae.cfg.num_latents, vae.cfg.embed_dim),
             num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale)
+            guidance_scale=guidance_scale, initial_noise=noise)
 
-        mesh = latents_to_mesh(vae, vae_params, latents,
-                               octree_resolution=octree_resolution,
-                               box_v=1.01,
-                               max_verts=196608, max_faces=393216)
-        nv = int(mesh.num_verts)
-        nf = int(mesh.num_faces)
-        verts = np.asarray(mesh.verts)[:nv]
-        faces = np.asarray(mesh.faces)[:nf]
-        # FloaterRemover -> DegenerateFaceRemover -> FaceReducer, the full
-        # reference post-process chain (geometry/hunyuan.py:96-100)
-        verts, faces = remove_floaters(verts, faces)
-        verts, faces = remove_degenerate_faces(verts, faces)
-        verts, faces = reduce_faces(verts, faces)
-        write_ply(out_path, verts, faces)
-        print(f"Exported {out_path} ({len(verts)} verts, {len(faces)} faces)")
+        for b, (_, image_id, out_path) in enumerate(group):
+            mesh = latents_to_mesh(vae, vae_params, latents[b:b + 1],
+                                   octree_resolution=octree_resolution,
+                                   box_v=1.01,
+                                   max_verts=196608, max_faces=393216)
+            nv = int(mesh.num_verts)
+            nf = int(mesh.num_faces)
+            verts = np.asarray(mesh.verts)[:nv]
+            faces = np.asarray(mesh.faces)[:nf]
+            # FloaterRemover -> DegenerateFaceRemover -> FaceReducer, the
+            # full reference chain (geometry/hunyuan.py:96-100)
+            verts, faces = remove_floaters(verts, faces)
+            verts, faces = remove_degenerate_faces(verts, faces)
+            verts, faces = reduce_faces(verts, faces)
+            write_ply(out_path, verts, faces)
+            print(f"Exported {out_path} ({len(verts)} verts, {len(faces)} faces)")
 
 
 def main() -> None:

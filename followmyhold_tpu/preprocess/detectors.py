@@ -116,15 +116,18 @@ class LearnedBundle:
         from followmyhold_tpu.models.gdino import GDINO_BASE, GroundingDino
         from followmyhold_tpu.models.hand_object_detector import FrcnnConfig, HandObjectDetector
         from followmyhold_tpu.models.sam2 import SAM2_LARGE, Sam2
-        from followmyhold_tpu.models.yolo_hand import YoloConfig, YoloHand
+        from followmyhold_tpu.models.yolov8 import YOLOV8_N, YoloV8
         from followmyhold_tpu.utils.params import load_or_init
 
-        self.yolo = YoloHand(YoloConfig())
+        self.yolo = YoloV8(YOLOV8_N)
         self.frcnn = HandObjectDetector(FrcnnConfig())
         self.gdino = GroundingDino(GDINO_BASE)
         self.sam = Sam2(SAM2_LARGE)
         self.yolo_params = load_or_init(
-            "yolo_hand", lambda k: self.yolo.init(k, jnp.zeros((1, 64, 64, 3))))
+            "yolov8_wilor",
+            lambda k: self.yolo.init(
+                k, jnp.zeros((1, self.yolo.cfg.image_size,
+                              self.yolo.cfg.image_size, 3))))
         self.frcnn_params = load_or_init(
             "hand_object_detector",
             lambda k: self.frcnn.init(k, jnp.zeros((64, 64, 3))))
@@ -148,13 +151,9 @@ class LearnedBundle:
                 jnp.zeros((1, 4))))
 
     def detect_hands(self, image_rgb: np.ndarray) -> List[Detection]:
-        import jax.numpy as jnp
+        from followmyhold_tpu.models.yolov8 import detect_hands_yolov8
 
-        from followmyhold_tpu.models.yolo_hand import decode_detections
-
-        boxes, obj, cls = self.yolo.apply(
-            self.yolo_params, jnp.asarray(image_rgb, jnp.float32)[None] / 255.0)
-        dets = decode_detections(boxes[0], obj[0], cls[0])
+        dets = detect_hands_yolov8(self.yolo, self.yolo_params, image_rgb)
         return [Detection(box_xyxy=d["box"], score=d["score"],
                           is_right=d["is_right"]) for d in dets]
 
@@ -183,7 +182,7 @@ def default_bundle() -> DetectorBundle:
     from followmyhold_tpu.utils.params import has_params
 
     learned_ready = all(has_params(n) for n in
-                        ("yolo_hand", "hand_object_detector", "gdino", "sam2"))
+                        ("yolov8_wilor", "hand_object_detector", "gdino", "sam2"))
     if learned_ready:
         return LearnedBundle()
     return HeuristicBundle()
