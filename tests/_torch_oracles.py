@@ -29,6 +29,10 @@ class _AutoModule(types.ModuleType):
     def __init__(self, name):
         super().__init__(name)
         self.__path__ = []
+        # a real spec so importlib.util.find_spec on a stub doesn't raise
+        from importlib.machinery import ModuleSpec
+
+        self.__spec__ = ModuleSpec(name, None, is_package=True)
 
     def __call__(self, *args, **kwargs):
         # used as a decorator (e.g. rank_zero_only): pass the fn through
@@ -119,3 +123,25 @@ def import_moge_oracle():
     if path not in sys.path:
         sys.path.insert(0, path)
     return importlib.import_module("moge.model.modules")
+
+
+def import_frcnn_resnet_oracle():
+    """-> the hand_object_detector resnet module (ResNet/Bottleneck classes),
+    with its package-internal imports stubbed (cfg, _fasterRCNN, roi layers
+    are not needed for the backbone definition)."""
+    _install_stubs()
+    import importlib.util
+
+    for name in ("model", "model.utils", "model.utils.config",
+                 "model.faster_rcnn", "model.faster_rcnn.faster_rcnn"):
+        sys.modules.setdefault(name, _AutoModule(name))
+    sys.modules["model.faster_rcnn.faster_rcnn"]._fasterRCNN = type(
+        "_fasterRCNN", (), {"__init__": lambda self, *a, **k: None})
+    path = os.path.join(
+        REFERENCE,
+        "third_party/estimator/hand_object_detector/lib/model/faster_rcnn/resnet.py")
+    spec = importlib.util.spec_from_file_location("ref_hod_resnet", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_hod_resnet"] = mod
+    spec.loader.exec_module(mod)
+    return mod

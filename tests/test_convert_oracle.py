@@ -301,3 +301,97 @@ def test_gdino_matches_hf_reference(torch):
     np.testing.assert_allclose(logits[finite], ref_logits[finite],
                                atol=2e-3)
     np.testing.assert_allclose(boxes, ref_boxes, atol=2e-3)
+
+
+# --------------------------------------------------------------------------- #
+# hand_object_detector: caffe-style ResNet backbone + head-to-tail
+# --------------------------------------------------------------------------- #
+
+def test_frcnn_resnet_backbone_matches_reference(torch):
+    mod = oracles.import_frcnn_resnet_oracle()
+
+    # the reference ResNet class hardcodes width 64; use 1 block per stage
+    net = mod.ResNet(mod.Bottleneck, [1, 1, 1, 1])
+    net.eval()
+    with torch.no_grad():
+        for p in net.parameters():
+            p.normal_(0, 0.03)
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        # RCNN_base = conv1,bn1,relu,maxpool,layer1..layer3 (resnet.py:238-240)
+        h = net.relu(net.bn1(net.conv1(xt)))
+        h = net.maxpool(h)
+        base = net.layer3(net.layer2(net.layer1(h)))
+        # _head_to_tail: layer4 then spatial mean (resnet.py:271-273)
+        tail = net.layer4(base).mean(3).mean(2)
+    ref_base = base.numpy()
+    ref_tail = tail.numpy()
+
+    # ---- convert (state dict renamed to the checkpoint layout) ----
+    from followmyhold_tpu.convert.hand_object import convert_hand_object
+    from followmyhold_tpu.models.hand_object_detector import (
+        FrcnnConfig,
+        FusedConv,
+        HandObjectDetector,
+        ResNetStage,
+    )
+    import flax.linen as nn_flax
+
+    sd = {}
+    for k, v in net.state_dict().items():
+        if k.startswith("conv1."):
+            sd[k.replace("conv1", "RCNN_base.0")] = v.numpy()
+        elif k.startswith("bn1."):
+            sd[k.replace("bn1", "RCNN_base.1")] = v.numpy()
+        elif k.startswith(("layer1.", "layer2.", "layer3.")):
+            idx = {"layer1": 4, "layer2": 5, "layer3": 6}[k.split(".")[0]]
+            sd[f"RCNN_base.{idx}." + k.split(".", 1)[1]] = v.numpy()
+        elif k.startswith("layer4."):
+            sd["RCNN_top.0." + k.split(".", 1)[1]] = v.numpy()
+        # fc ignored
+
+    cfg = FrcnnConfig(width=64, stage_blocks=(1, 1, 1, 1),
+                      pre_nms_top_n=64, post_nms_top_n=8, dtype=jnp.float32)
+    params, report = convert_hand_object(sd, cfg, init_size=64)
+    backbone_missing = [m for m in report.missing_src
+                        if m.startswith(("RCNN_base", "RCNN_top"))]
+    assert not backbone_missing, backbone_missing[:8]
+    assert not report.unused_src, report.unused_src[:8]
+
+    # run just the backbone part of our model on the same input
+    class BaseOnly(nn_flax.Module):
+        cfg: FrcnnConfig
+
+        @nn_flax.compact
+        def __call__(self, image):
+            c = self.cfg
+            h = nn_flax.relu(FusedConv(c.width, 7, 2, c.dtype, name="conv1")(
+                image[None].astype(c.dtype)))
+            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+            h = nn_flax.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
+            h = ResNetStage(c.width, c.stage_blocks[0], 1, c.dtype,
+                            name="layer1")(h)
+            h = ResNetStage(c.width * 2, c.stage_blocks[1], 2, c.dtype,
+                            name="layer2")(h)
+            base = ResNetStage(c.width * 4, c.stage_blocks[2], 2, c.dtype,
+                               name="layer3")(h)
+            tail = ResNetStage(c.width * 8, c.stage_blocks[3], 2, c.dtype,
+                               name="layer4")(base)
+            return base, tail.mean(axis=(1, 2))
+
+    sub = {"params": {k: params["params"][k] for k in
+                      ("conv1", "layer1", "layer2", "layer3", "layer4")}}
+    base_f, tail_f = BaseOnly(cfg).apply(
+        sub, jnp.asarray(np.transpose(x[0], (1, 2, 0))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(base_f[0]), (2, 0, 1)), ref_base[0],
+        atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tail_f), ref_tail, atol=2e-3)

@@ -16,8 +16,9 @@ from followmyhold_tpu.models.hand_object_detector import (
     FRCNN_TINY,
     HandObjectDetector,
     detect_hand_object,
-    make_anchors,
+    generate_anchors,
     match_hands_to_objects,
+    shift_anchors,
 )
 from followmyhold_tpu.models.sam import SAM_TINY, Sam, segment_box
 from followmyhold_tpu.models.vitpose import (
@@ -93,7 +94,12 @@ def test_frcnn_outputs_and_matching():
 
 
 def test_anchors_shape():
-    a = make_anchors(4, 4, 16, 12)
+    base = generate_anchors()
+    # classic generate_anchors: 3 ratios x 4 scales, integer-rounded extents
+    assert base.shape == (12, 4)
+    # ratio 1.0, scale 16 -> the canonical [-120, -120, 135, 135]
+    np.testing.assert_allclose(base[6], [-120, -120, 135, 135])
+    a = shift_anchors(base, 4, 4, 16)
     assert a.shape == (4 * 4 * 12, 4)
     assert (a[:, 2] > a[:, 0]).all()
 
