@@ -20,14 +20,12 @@ from followmyhold_tpu.models.hand_object_detector import (
     match_hands_to_objects,
     shift_anchors,
 )
-from followmyhold_tpu.models.sam import SAM_TINY, Sam, segment_box
 from followmyhold_tpu.models.vitpose import (
     VITPOSE_TINY,
     ViTPose,
     hand_bboxes_from_wholebody,
     heatmaps_to_keypoints,
 )
-from followmyhold_tpu.models.yolo_hand import YOLO_TINY, YoloHand, decode_detections
 
 
 def test_vitpose_heatmaps_and_keypoints():
@@ -51,16 +49,6 @@ def test_hand_bboxes_from_wholebody_blocks():
     assert left is not None and right is None
     np.testing.assert_allclose(left, [10, 20, 18, 20])
 
-
-def test_yolo_decode():
-    model = YoloHand(YOLO_TINY)
-    x = jnp.ones((1, 64, 64, 3))
-    params = model.init(jax.random.key(0), x)
-    boxes, obj, cls = model.apply(params, x)
-    assert boxes.shape[0] == 1 and boxes.shape[2] == 4
-    dets = decode_detections(boxes[0], obj[0], cls[0], conf_threshold=0.0)
-    assert len(dets) >= 1
-    assert "is_right" in dets[0]
 
 
 def test_frcnn_outputs_and_matching():
@@ -103,18 +91,6 @@ def test_anchors_shape():
     assert a.shape == (4 * 4 * 12, 4)
     assert (a[:, 2] > a[:, 0]).all()
 
-
-def test_sam_segment_box():
-    model = Sam(SAM_TINY)
-    img = jnp.ones((1, 64, 64, 3)) * 0.5
-    box = jnp.asarray([[0.2, 0.2, 0.8, 0.8]])
-    params = model.init(jax.random.key(0), img, box)
-    logits, iou = model.apply(params, img, box)
-    assert logits.shape == (1, 64, 64, SAM_TINY.num_mask_tokens)
-    assert iou.shape == (1, SAM_TINY.num_mask_tokens)
-    mask = segment_box(model, params, np.full((64, 64, 3), 128, np.uint8),
-                       np.array([10, 10, 50, 50]))
-    assert mask.shape == (64, 64) and mask.dtype == bool
 
 
 def test_gdino_detect():
