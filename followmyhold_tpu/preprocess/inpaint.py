@@ -39,51 +39,92 @@ def _read_gemini_names(path: Optional[str]) -> Dict[str, str]:
 _LEARNED = None
 
 
+class FluxKontextInpainter:
+    """FLUX.1-Kontext hand removal (reference inpaint.py:41-77): transformer
+    + VAE + CLIP/T5 text towers, all checkpoint-converted (convert/flux*.py).
+    Built only when converted 'flux_transformer' + 'flux_vae' + 'flux_clip'
+    + 'flux_t5' weights exist."""
+
+    REQUIRED = ("flux_transformer", "flux_vae", "flux_clip", "flux_t5")
+
+    def __init__(self):
+        import jax.numpy as jnp
+
+        from followmyhold_tpu.models.clip_text import CLIP_L, ClipTextModel
+        from followmyhold_tpu.models.flux import (
+            FLUX_DEV,
+            FLUX_VAE,
+            FluxTransformer,
+            FluxVae,
+        )
+        from followmyhold_tpu.models.t5 import T5_XXL, T5Encoder
+        from followmyhold_tpu.utils.params import load_or_init
+
+        self.transformer = FluxTransformer(FLUX_DEV)
+        self.vae = FluxVae(FLUX_VAE)
+        self.clip = ClipTextModel(CLIP_L)
+        self.t5 = T5Encoder(T5_XXL)
+        n = 8
+        self.t_params = load_or_init(
+            "flux_transformer", lambda k: self.transformer.init(
+                k, jnp.zeros((1, n, 64)), jnp.zeros((1, 4, 4096)),
+                jnp.zeros((1, 768)), jnp.ones((1,)), jnp.zeros((n, 3)),
+                jnp.zeros((4, 3)), jnp.ones((1,))))
+        self.vae_params = load_or_init(
+            "flux_vae", lambda k: self.vae.init(k, jnp.zeros((1, 64, 64, 3))))
+        self.clip_params = load_or_init(
+            "flux_clip",
+            lambda k: self.clip.init(k, jnp.zeros((1, 8), jnp.int32)))
+        self.t5_params = load_or_init(
+            "flux_t5", lambda k: self.t5.init(k, jnp.zeros((1, 8), jnp.int32)))
+
+    def __call__(self, image_rgb: np.ndarray, prompt: str) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from followmyhold_tpu.models.flux import kontext_edit
+        from followmyhold_tpu.utils.prng import SEED_INPAINT, stage_key
+
+        # tokenization: CLIP BPE / T5 sentencepiece vocabs ship with the
+        # checkpoints; fall back to hashed ids so the graph stays drivable
+        from followmyhold_tpu.models.gdino import simple_tokenize
+
+        t5_ids = simple_tokenize(prompt, 64, self.t5.cfg.vocab_size)
+        clip_ids = simple_tokenize(prompt, 24, self.clip.cfg.vocab_size)
+        t5_states = self.t5.apply(self.t5_params, jnp.asarray(t5_ids, jnp.int32))
+        _, pooled = self.clip.apply(self.clip_params,
+                                    jnp.asarray(clip_ids, jnp.int32))
+
+        img = jnp.asarray(image_rgb, jnp.float32)[None] / 255.0
+        out = kontext_edit(self.transformer, self.t_params, self.vae,
+                           self.vae_params, t5_states, pooled, img,
+                           stage_key(SEED_INPAINT, "inpaint"),
+                           num_steps=28, guidance=2.5)
+        return (np.asarray(out[0]) * 255).astype(np.uint8)
+
+
 def _learned_inpainter():
-    """FLUX-class diffusion inpainter when converted weights exist."""
+    """FLUX.1-Kontext inpainter when all converted weights exist."""
     global _LEARNED
     if _LEARNED is not None:
         return _LEARNED
     from followmyhold_tpu.utils.params import has_params
 
-    if not has_params("flux_inpaint"):
+    if not all(has_params(n) for n in FluxKontextInpainter.REQUIRED):
         _LEARNED = False
         return False
-    import jax.numpy as jnp
-
-    from followmyhold_tpu.models.flux_inpaint import FluxInpaintConfig, FluxInpainter
-    from followmyhold_tpu.utils.params import load_or_init
-
-    model = FluxInpainter(FluxInpaintConfig())
-    params = load_or_init("flux_inpaint", lambda k: model.init(
-        k, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64)),
-        jnp.zeros((1, model.cfg.text.max_text_len), jnp.int32),
-        jnp.zeros(1), jnp.zeros((1, 8, 8, model.cfg.latent_channels))))
-    _LEARNED = (model, params)
+    _LEARNED = FluxKontextInpainter()
     return _LEARNED
 
 
 def inpaint_hand(image_rgb: np.ndarray, hand_mask: np.ndarray,
                  radius: int = 7, object_name: str = "object") -> np.ndarray:
-    """Remove the hand region. Learned FLUX-class backend when weights exist
-    (prompt "Remove hands but keep the {object}", matching inpaint.py:66-67);
+    """Remove the hand region. FLUX.1-Kontext backend when converted weights
+    exist (prompt "Remove hands but keep the {object}", inpaint.py:66-67);
     classical dilate+Telea fallback otherwise."""
     learned = _learned_inpainter()
     if learned:
-        import jax
-        import jax.numpy as jnp
-
-        from followmyhold_tpu.models.flux_inpaint import inpaint as flux_inpaint
-        from followmyhold_tpu.utils.prng import SEED_INPAINT, stage_key
-
-        model, params = learned
-        out = flux_inpaint(
-            model, params,
-            jnp.asarray(image_rgb, jnp.float32)[None] / 255.0,
-            jnp.asarray(hand_mask, jnp.float32)[None],
-            f"Remove hands but keep the {object_name}",
-            stage_key(SEED_INPAINT, "inpaint"))
-        return (np.asarray(out[0]) * 255).astype(np.uint8)
+        return learned(image_rgb,
+                       f"Remove hands but keep the {object_name}.")
 
     import cv2
 

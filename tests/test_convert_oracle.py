@@ -395,3 +395,60 @@ def test_frcnn_resnet_backbone_matches_reference(torch):
         np.transpose(np.asarray(base_f[0]), (2, 0, 1)), ref_base[0],
         atol=2e-3)
     np.testing.assert_allclose(np.asarray(tail_f), ref_tail, atol=2e-3)
+
+
+# --------------------------------------------------------------------------- #
+# FLUX text towers: CLIP-L and T5 encoder vs HF transformers
+# --------------------------------------------------------------------------- #
+
+def test_clip_text_matches_hf_reference(torch):
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel as HFModel
+
+    torch.manual_seed(5)
+    hf = HFModel(HFCfg(vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=64,
+                       max_position_embeddings=24, eos_token_id=999,
+                       bos_token_id=998))
+    hf.eval()
+    ids = np.asarray([[998, 5, 6, 7, 999, 0, 0, 0]], np.int64)
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids))
+    ref_h = out.last_hidden_state.numpy()
+    ref_p = out.pooler_output.numpy()
+
+    from followmyhold_tpu.convert.flux_text import convert_clip_text
+    from followmyhold_tpu.models.clip_text import CLIP_TINY_TEST, ClipTextModel
+
+    params, report = convert_clip_text(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, CLIP_TINY_TEST)
+    assert not report.missing_src, report.missing_src[:6]
+    assert not report.unused_src, report.unused_src[:6]
+    h, p = ClipTextModel(CLIP_TINY_TEST).apply(
+        params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(h), ref_h, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p), ref_p, atol=2e-4)
+
+
+def test_t5_encoder_matches_hf_reference(torch):
+    from transformers import T5Config as HFCfg
+    from transformers import T5EncoderModel as HFModel
+
+    torch.manual_seed(6)
+    hf = HFModel(HFCfg(vocab_size=500, d_model=32, d_kv=8, d_ff=64,
+                       num_layers=2, num_heads=4, feed_forward_proj="gated-gelu",
+                       is_encoder_decoder=False))
+    hf.eval()
+    ids = np.asarray([[3, 14, 15, 92, 65, 1]], np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+
+    from followmyhold_tpu.convert.flux_text import convert_t5_encoder
+    from followmyhold_tpu.models.t5 import T5_TINY_TEST, T5Encoder
+
+    params, report = convert_t5_encoder(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, T5_TINY_TEST)
+    assert not report.missing_src, report.missing_src[:6]
+    assert not report.unused_src, report.unused_src[:6]
+    h = T5Encoder(T5_TINY_TEST).apply(params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(h), ref, atol=3e-4)

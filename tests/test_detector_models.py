@@ -5,12 +5,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from followmyhold_tpu.models.flux_inpaint import (
-    FLUX_TINY,
-    FluxInpainter,
-    inpaint,
-    tokenize_bytes,
-)
 from followmyhold_tpu.models.gdino import GDINO_TINY, detect_text_prompt
 from followmyhold_tpu.models.hand_object_detector import (
     FRCNN_TINY,
@@ -113,21 +107,6 @@ def test_gdino_detect():
                                        box_threshold=0.0)
     assert boxes.shape[1] == 4 and len(boxes) == len(scores)
 
-
-def test_flux_inpaint_composites_unmasked():
-    model = FluxInpainter(FLUX_TINY)
-    img = jnp.ones((1, 32, 32, 3)) * 0.6
-    mask = jnp.zeros((1, 32, 32)).at[:, 8:16, 8:16].set(1.0)
-    toks = jnp.asarray(tokenize_bytes("remove hand", 16))[None]
-    z = jnp.zeros((1, 4, 4, 4))
-    params = model.init(jax.random.key(0), img, mask, toks, jnp.zeros(1), z)
-    out = inpaint(model, params, img, mask, "remove hand", jax.random.key(1),
-                  num_steps=2)
-    out = np.asarray(out)
-    assert out.shape == (1, 32, 32, 3)
-    # unmasked pixels preserved exactly
-    np.testing.assert_allclose(out[0, 0, 0], 0.6, atol=1e-6)
-    assert np.isfinite(out).all()
 
 
 def test_vitpose_front_end_hand_bbox():
