@@ -272,6 +272,10 @@ class ShapeVAEConfig:
     geo_heads: int = 16
     fourier_freqs: int = 8
     scale_factor: float = 1.0039506158752403  # hy3dgen shapevae default
+    # remat knobs: recompute-in-backward trades FLOPs for HBM. With the
+    # Pallas flash backward the activation footprint shrank enough that the
+    # defaults may be revisited per deployment (bench FOHO_VAE_REMAT=0/1).
+    remat_blocks: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -331,10 +335,12 @@ class ShapeVAEDecoder(nn.Module):
     def __call__(self, latents: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         x = nn.Dense(c.width, dtype=c.dtype, name="post_kl")(latents.astype(c.dtype))
-        # remat each block: the guidance loop differentiates through this
-        # decoder every optimizer iteration; storing 16 layers of residuals
-        # at [B,3072,1024] would dominate HBM
-        scan = nn.scan(nn.remat(_VAEScanBlock), variable_axes={"params": 0},
+        # remat each block (cfg.remat_blocks): the guidance loop
+        # differentiates through this decoder every optimizer iteration;
+        # storing 16 layers of residuals at [B,3072,1024] costs HBM, while
+        # recompute costs ~1/3 more decoder FLOPs in the backward
+        block = nn.remat(_VAEScanBlock) if c.remat_blocks else _VAEScanBlock
+        scan = nn.scan(block, variable_axes={"params": 0},
                        split_rngs={"params": True}, length=c.depth)
         x, _ = scan(c.width, c.heads, c.dtype, name="blocks")(x, None)
         return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(c.dtype)
@@ -396,6 +402,7 @@ def vae_query_logits(
     latents: jnp.ndarray,
     queries: jnp.ndarray,
     chunk: int = 8192,
+    remat_chunks: bool = True,
 ) -> jnp.ndarray:
     """Scaled decode + chunked grid query (reference latent2sdf,
     pipelines.py:292-312; chunk 8000 -> padded to an MXU-friendly 8192).
@@ -403,6 +410,8 @@ def vae_query_logits(
 
     Chunking uses lax.map over vae.apply (a pure fn), keeping the per-chunk
     cross-attention in VMEM-friendly sizes while the weights stay resident.
+    remat_chunks recomputes each chunk's forward in the backward (HBM vs
+    FLOPs; see ShapeVAEConfig.remat_blocks).
     """
     feats = vae.apply(params, latents / vae.cfg.scale_factor,
                       method=ShapeVAE.decode)
@@ -410,8 +419,10 @@ def vae_query_logits(
     pad = (-N) % chunk
     qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
     qc = qp.reshape(B, -1, chunk, 3).transpose(1, 0, 2, 3)  # [n_chunks,B,chunk,3]
-    geo_fn = jax.checkpoint(
-        lambda q, f: vae.apply(params, q, f, method=ShapeVAE.geo_decoder))
+    geo_fn = lambda q, f: vae.apply(params, q, f,  # noqa: E731
+                                    method=ShapeVAE.geo_decoder)
+    if remat_chunks:
+        geo_fn = jax.checkpoint(geo_fn)
     logits = jax.lax.map(lambda q: geo_fn(q, feats), qc)
     logits = logits.transpose(1, 0, 2).reshape(B, -1)
     return logits[:, :N]

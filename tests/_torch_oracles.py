@@ -83,9 +83,16 @@ class _StubFinder:
 
 
 def _install_stubs():
+    import importlib.util
+
     for name in _STUBS:
-        if name not in sys.modules:
-            sys.modules[name] = _AutoModule(name)
+        if name in sys.modules:
+            continue
+        # never shadow a REAL installed package (stubbing cv2 broke the
+        # HeuristicBundle for every later test in the same pytest process)
+        if importlib.util.find_spec(name) is not None:
+            continue
+        sys.modules[name] = _AutoModule(name)
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.append(_StubFinder())
     # real implementations for the few timm helpers the oracle code calls
