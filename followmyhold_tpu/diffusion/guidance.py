@@ -517,6 +517,10 @@ class GuidedSampler:
                     hand, obj, noise_pred, latents, vae_params, targets, sched,
                     i, near_end=bool(i >= n - 3))
                 log_phase(f"joint_{i}", jl)
+                if debug is not None and debug.enabled:
+                    self._debug_render_dump(debug, f"step{i:02d}", hand, obj,
+                                            noise_pred, latents, vae_params,
+                                            targets, sched, i)
 
             # step-14 intermediate mesh dump (reference pipelines.py:1664-1675)
             if debug is not None and debug.enabled and i == min(14, n - 2):
@@ -605,6 +609,27 @@ class GuidedSampler:
         if nf > 0:
             debug.dump_mesh(f"{tag}_obj.ply", np.asarray(mesh.verts)[:nv],
                             np.asarray(mesh.faces)[:nf])
+
+    def _debug_render_dump(self, debug, tag, hand, obj, noise_pred, latents,
+                           vae_params, targets, sched, step_i):
+        """Post-phase render dump (the reference writes periodic render grids
+        from inside the opt loops, pipelines.py:1446-1450): normal + disparity
+        of the current HOI scene, as .npy maps."""
+        hand_verts = _transform_hand(targets, hand)
+        xyz, bbox, res = self._grid()
+        mesh, _ = _decode_object(
+            self.vae, vae_params, sched, step_i, noise_pred, latents,
+            xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+        tmesh = _transform_object(mesh, targets, obj)
+        hoi = _join_meshes(hand_verts, targets.mano_faces,
+                           jnp.ones(hand_verts.shape[0]),
+                           jnp.ones(targets.mano_faces.shape[0]), tmesh)
+        vn = vertex_normals(hoi)
+        n01, disp01, _ = render_normal_and_disparity(
+            self.camera, hoi.verts, hoi.faces, vn, hoi.face_mask,
+            **self._raster_kw())
+        debug.dump_array(f"{tag}_normal.npy", n01)
+        debug.dump_array(f"{tag}_disp.npy", disp01)
 
     def export_meshes(
         self, vae_params, result: GuidanceResult, targets: GuidanceTargets,

@@ -80,8 +80,12 @@ def test_run_collects_loss_curves_and_debug_dumps(tmp_path, monkeypatch):
     assert any(line.startswith("hand iter 0:") for line in log)
     assert any(line.startswith("hand iter 10:") for line in log)
     assert any(line.startswith("obj final:") for line in log)
-    # step-(n-2) intermediate mesh dump
+    # step-(n-2) intermediate mesh dump + per-joint-step render dumps
     assert (tmp_path / "unit" / "step04_obj.ply").exists()
+    assert (tmp_path / "unit" / "step04_normal.npy.npy").exists() or \
+        (tmp_path / "unit" / "step04_normal.npy").exists()
+    assert (tmp_path / "unit" / "step05_disp.npy.npy").exists() or \
+        (tmp_path / "unit" / "step05_disp.npy").exists()
 
 
 def test_run_batch_dp_sharded():
