@@ -327,6 +327,9 @@ def emit() -> None:
         f"+ 100*{(t_obj or 0):.3f} + 450*{(t_joint or 0):.3f}",
         file=sys.stderr,
     )
+    if est > 0 and est != float("inf"):
+        print(f"# dp=8 projection (batched guidance, v5e-8): "
+              f"{est / 8:.1f} s/image", file=sys.stderr)
     if est <= 0:
         est = float("inf")
     payload = {

@@ -89,7 +89,13 @@ class FluxKontextInpainter:
         from followmyhold_tpu.models.gdino import simple_tokenize
 
         t5_ids = simple_tokenize(prompt, 64, self.t5.cfg.vocab_size)
-        clip_ids = simple_tokenize(prompt, 24, self.clip.cfg.vocab_size)
+        # CLIP framing: bos ... eos (the pooled output reads the EOS slot)
+        words = prompt.lower().split()[:20]
+        span = max(self.clip.cfg.vocab_size - 1000, 1)
+        clip_ids = np.asarray(
+            [[self.clip.cfg.eos_token_id - 1]
+             + [1000 + hash(w) % (span - 2) for w in words]
+             + [self.clip.cfg.eos_token_id]], np.int64)
         t5_states = self.t5.apply(self.t5_params, jnp.asarray(t5_ids, jnp.int32))
         _, pooled = self.clip.apply(self.clip_params,
                                     jnp.asarray(clip_ids, jnp.int32))
