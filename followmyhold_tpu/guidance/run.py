@@ -355,13 +355,19 @@ def _run_batched(assigned, batch_size, config, models, j_regressor, *dirs):
     when multiple devices are visible."""
     import jax as _jax
 
-    mesh = None
     n_dev = len(_jax.devices())
-    if n_dev > 1:
+
+    def _mesh_for(n_images):
+        # dp must divide the group for the NamedSharding device_put; the
+        # last group can be short
+        if n_dev <= 1:
+            return None
         from followmyhold_tpu.parallel import make_mesh
 
-        dp = min(n_dev, batch_size)
-        mesh = make_mesh(f"dp={dp}", _jax.devices()[:dp])
+        dp = min(n_dev, n_images)
+        while n_images % dp:
+            dp -= 1
+        return make_mesh(f"dp={dp}", _jax.devices()[:dp]) if dp > 1 else None
 
     pending = []
     for name in assigned:
@@ -388,7 +394,8 @@ def _run_batched(assigned, batch_size, config, models, j_regressor, *dirs):
         batch = pending[i:i + batch_size]
         try:
             print("Batch:", [j["image_id"] for j in batch])
-            run_batch_images(batch, config, models, j_regressor, mesh=mesh)
+            run_batch_images(batch, config, models, j_regressor,
+                             mesh=_mesh_for(len(batch)))
         except Exception as e:  # per-batch skip-and-continue
             print(f"Error in batch {[j['image_id'] for j in batch]}: {e}")
     print("Finished processing all images")
