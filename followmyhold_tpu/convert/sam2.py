@@ -122,8 +122,10 @@ def convert_sam2(torch_sd: Dict[str, np.ndarray],
                 dense(f"{src}.{attn}.{proj}", f"{dst}/{attn}/{proj}")
         for k in range(1, 5):
             ln(f"{src}.norm{k}", f"{dst}/norm{k}")
-        dense(f"{src}.mlp.layers.0", f"{dst}/mlp1")
-        dense(f"{src}.mlp.layers.1", f"{dst}/mlp2")
+        # TwoWayAttentionBlock uses SAM's MLPBlock (lin1/lin2), unlike the
+        # hypernetwork/iou MLPs which use layers.{i}
+        dense(f"{src}.mlp.lin1", f"{dst}/mlp1")
+        dense(f"{src}.mlp.lin2", f"{dst}/mlp2")
     for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
         dense(f"{md}.transformer.final_attn_token_to_image.{proj}",
               f"decoder/final_attn_token_to_image/{proj}")

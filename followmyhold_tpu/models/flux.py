@@ -454,7 +454,13 @@ def kontext_edit(
     txt_ids = jnp.zeros((t5_states.shape[1], 3), jnp.float32)
 
     lat = jax.random.normal(key, ctx_tokens.shape, jnp.float32)
-    sigmas = jnp.linspace(1.0, 0.0, num_steps + 1)
+    # dev-model "dynamic shifting": exponential time shift with mu
+    # interpolated from the image sequence length (diffusers FluxPipeline
+    # calculate_shift: base 0.5@256 tokens -> 1.15@4096)
+    mu = 0.5 + (n_img - 256) * (1.15 - 0.5) / (4096 - 256)
+    base = jnp.linspace(1.0, 1.0 / num_steps, num_steps)
+    shifted = math.exp(mu) / (math.exp(mu) + (1.0 / base - 1.0))
+    sigmas = jnp.concatenate([shifted, jnp.zeros((1,))])
     g = jnp.full((B,), guidance, jnp.float32)
 
     def body(lat, i):

@@ -82,10 +82,10 @@ def _synth_sam2_sd(cfg, rng):
         for k in range(1, 5):
             add(f"{b}.norm{k}.weight", d)
             add(f"{b}.norm{k}.bias", d)
-        add(f"{b}.mlp.layers.0.weight", cfg.decoder_mlp_dim, d)
-        add(f"{b}.mlp.layers.0.bias", cfg.decoder_mlp_dim)
-        add(f"{b}.mlp.layers.1.weight", d, cfg.decoder_mlp_dim)
-        add(f"{b}.mlp.layers.1.bias", d)
+        add(f"{b}.mlp.lin1.weight", cfg.decoder_mlp_dim, d)
+        add(f"{b}.mlp.lin1.bias", cfg.decoder_mlp_dim)
+        add(f"{b}.mlp.lin2.weight", d, cfg.decoder_mlp_dim)
+        add(f"{b}.mlp.lin2.bias", d)
     for proj in ("q_proj", "k_proj", "v_proj"):
         add(f"{md}.transformer.final_attn_token_to_image.{proj}.weight",
             d // 2, d)
