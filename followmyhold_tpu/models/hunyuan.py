@@ -348,25 +348,46 @@ class ShapeVAEDecoder(nn.Module):
 
 class GeoDecoder(nn.Module):
     """Occupancy-logit query head: cross-attend Fourier-embedded points to the
-    decoded latent set (reference vae.geo_decoder, pipelines.py:305)."""
+    decoded latent set (reference vae.geo_decoder, pipelines.py:305).
+
+    Split into kv_feats (per decoded latent set, computed ONCE) and query
+    (per chunk of points) so the chunked grid decode doesn't re-project the
+    k/v of all 3072 latent tokens for every chunk. Submodule names match the
+    original compact layout, so converted checkpoints are unaffected."""
 
     cfg: ShapeVAEConfig
 
-    @nn.compact
-    def __call__(self, queries: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
+        c = self.cfg
+        self.query_in = nn.Dense(c.width, dtype=c.dtype)
+        self.lnq = nn.LayerNorm(dtype=jnp.float32)
+        self.kv = nn.Dense(2 * c.width, dtype=c.dtype)
+        self.lnkv = nn.LayerNorm(dtype=jnp.float32)
+        self.q = nn.Dense(c.width, dtype=c.dtype)
+        self.proj = nn.Dense(c.width, dtype=c.dtype)
+        self.ln_out = nn.LayerNorm(dtype=jnp.float32)
+        self.logit = nn.Dense(1, dtype=jnp.float32)
+
+    def kv_feats(self, features: jnp.ndarray) -> jnp.ndarray:
+        """[B,L,width] -> merged k,v [B,L,2*width]."""
+        return self.kv(self.lnkv(features).astype(self.cfg.dtype))
+
+    def query(self, queries: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
+        """queries [B,N,3] x kv [B,L,2*width] -> logits [B,N]."""
         c = self.cfg
         q = fourier_embed(queries, c.fourier_freqs)
-        q = nn.Dense(c.width, dtype=c.dtype, name="query_in")(q.astype(c.dtype))
-        qn = nn.LayerNorm(dtype=jnp.float32, name="lnq")(q).astype(c.dtype)
-        kv = nn.Dense(2 * c.width, dtype=c.dtype, name="kv")(
-            nn.LayerNorm(dtype=jnp.float32, name="lnkv")(features).astype(c.dtype))
+        q = self.query_in(q.astype(c.dtype))
+        qn = self.lnq(q).astype(c.dtype)
         k, v = jnp.split(kv, 2, -1)
-        qh = _split_heads(nn.Dense(c.width, dtype=c.dtype, name="q")(qn), c.geo_heads)
+        qh = _split_heads(self.q(qn), c.geo_heads)
         attn = multi_head_attention(qh, _split_heads(k, c.geo_heads),
                                     _split_heads(v, c.geo_heads))
-        x = q + nn.Dense(c.width, dtype=c.dtype, name="proj")(_merge_heads(attn))
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_out")(x)
-        return nn.Dense(1, dtype=jnp.float32, name="logit")(x)[..., 0]
+        x = q + self.proj(_merge_heads(attn))
+        x = self.ln_out(x)
+        return self.logit(x)[..., 0]
+
+    def __call__(self, queries: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
+        return self.query(queries, self.kv_feats(features))
 
 
 class ShapeVAE(nn.Module):
@@ -395,6 +416,12 @@ class ShapeVAE(nn.Module):
     def geo_decoder(self, queries: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
         return self.geo(queries, features)
 
+    def geo_kv(self, features: jnp.ndarray) -> jnp.ndarray:
+        return self.geo.kv_feats(features)
+
+    def geo_query(self, queries: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
+        return self.geo.query(queries, kv)
+
 
 def vae_query_logits(
     vae: ShapeVAE,
@@ -403,6 +430,7 @@ def vae_query_logits(
     queries: jnp.ndarray,
     chunk: int = 8192,
     remat_chunks: bool = True,
+    group: int = 8,
 ) -> jnp.ndarray:
     """Scaled decode + chunked grid query (reference latent2sdf,
     pipelines.py:292-312; chunk 8000 -> padded to an MXU-friendly 8192).
@@ -415,16 +443,29 @@ def vae_query_logits(
     """
     feats = vae.apply(params, latents / vae.cfg.scale_factor,
                       method=ShapeVAE.decode)
+    # k/v of the latent set once, NOT once per chunk
+    kv = vae.apply(params, feats, method=ShapeVAE.geo_kv)
     B, N, _ = queries.shape
     pad = (-N) % chunk
     qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
     qc = qp.reshape(B, -1, chunk, 3).transpose(1, 0, 2, 3)  # [n_chunks,B,chunk,3]
+    n_chunks = qc.shape[0]
+    # the remote-compile tunnel rejects attention graphs with q longer than
+    # 8192, so larger chunks can't amortize the per-call overhead (~10 ms vs
+    # ~2.3 ms of flops at chunk=8192). Instead stack `group` chunks as a
+    # BATCH axis per call: q stays 8192, the flash grid gets group x taller.
+    group = max(1, min(group, n_chunks))
+    gpad = (-n_chunks) % group
+    qc = jnp.pad(qc, ((0, gpad), (0, 0), (0, 0), (0, 0)))
+    qg = qc.reshape(-1, group * B, chunk, 3)  # [n_groups, G*B, chunk, 3]
+    kvg = jnp.broadcast_to(kv[None], (group,) + kv.shape).reshape(
+        group * B, *kv.shape[1:])
     geo_fn = lambda q, f: vae.apply(params, q, f,  # noqa: E731
-                                    method=ShapeVAE.geo_decoder)
+                                    method=ShapeVAE.geo_query)
     if remat_chunks:
         geo_fn = jax.checkpoint(geo_fn)
-    logits = jax.lax.map(lambda q: geo_fn(q, feats), qc)
-    logits = logits.transpose(1, 0, 2).reshape(B, -1)
+    logits = jax.lax.map(lambda q: geo_fn(q, kvg), qg)  # [n_groups, G*B, chunk]
+    logits = logits.reshape(-1, B, chunk).transpose(1, 0, 2).reshape(B, -1)
     return logits[:, :N]
 
 
