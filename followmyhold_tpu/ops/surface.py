@@ -167,6 +167,42 @@ def _build_face_lookup():
 _FACE_LOOKUP = _build_face_lookup()
 
 
+def _build_slot_selectors():
+    """Selector matrices that turn the key->slot GATHER into matmuls.
+
+    slot_of_key[key] at 262k cells x 6 tets x 6 face-verts is 1.57M random
+    HBM accesses (~20 ms per tet on v5e — dominated the 65^3 forward). But
+    each face-vertex's edge is one of only a few distinct (cell offset, dir)
+    CHANNELS: a shifted slice of the slot volume. Precompute, per tet, a
+    constant 0/1 selector S[f, case, u] picking channel u for face-vertex f
+    of each case; on device the slots become E_T @ S^T followed by a one-hot
+    case selection — MXU work instead of gathers.
+
+    Returns (channels [(ox,oy,oz,dir), ...], selectors [6][6,16,U] f32).
+    """
+    lk = np.asarray(_FACE_LOOKUP)
+    chans: dict = {}
+    entries = []
+    for t in range(6):
+        for case in range(16):
+            for f in range(6):
+                key = (int(lk[t, case, 0 + f]), int(lk[t, case, 6 + f]),
+                       int(lk[t, case, 12 + f]), int(lk[t, case, 18 + f]))
+                u = chans.setdefault(key, len(chans))
+                entries.append((t, case, f, u))
+    U = len(chans)
+    sel = np.zeros((6, 6, 16, U), np.float32)
+    for t, case, f, u in entries:
+        sel[t, f, case, u] = 1.0
+    inv = [None] * U
+    for k, u in chans.items():
+        inv[u] = k
+    return inv, sel
+
+
+_SLOT_CHANNELS, _SLOT_SEL = _build_slot_selectors()
+
+
 class PaddedMesh(NamedTuple):
     """Fixed-capacity mesh: static shapes for XLA."""
 
@@ -286,14 +322,20 @@ def marching_tets(
     corner_cols = [ins3[c[0]:c[0] + r, c[1]:c[1] + r, c[2]:c[2] + r].reshape(-1)
                    for c in np.asarray(_CORNERS)]            # 8 x [C] bool
 
-    ci, cj, ck = jnp.meshgrid(jnp.arange(r), jnp.arange(r), jnp.arange(r),
-                              indexing="ij")
-    cx = ci.reshape(-1, 1).astype(jnp.float32)
-    cy = cj.reshape(-1, 1).astype(jnp.float32)
-    cz = ck.reshape(-1, 1).astype(jnp.float32)
-
     lookup = jnp.asarray(_FACE_LOOKUP)                        # [6,16,26]
     case_iota = jnp.arange(16, dtype=jnp.int32)[None]
+
+    # channel volumes: shifted slices of the slot grid, one per distinct
+    # (cell offset, dir). Slots < 2^24 are exact in f32, and the selector
+    # matmuls below are 0/1-weighted sums of single entries, so the whole
+    # path is exact. Replaces slot_of_key[key] random gathers (1.57M HBM
+    # accesses, ~120 ms of the 65^3 forward) with MXU matmuls.
+    slot3 = slot_of_key.reshape(n, n, n, 7)
+    e_t = jnp.stack(
+        [slot3[ox:ox + r, oy:oy + r, oz:oz + r, d].reshape(-1)
+         for (ox, oy, oz, d) in _SLOT_CHANNELS], axis=-1
+    ).astype(jnp.float32)                                     # [C, U]
+    sel = jnp.asarray(_SLOT_SEL)                              # [6,6,16,U]
 
     all_faces = []
     all_valid = []
@@ -305,18 +347,11 @@ def marching_tets(
                 + 8 * corner_cols[tet[3]])                    # [C]
         onehot = (case[:, None] == case_iota).astype(jnp.float32)
         vals = onehot @ lookup[tnum]                          # [C, 26] (MXU)
-        # table entries are small exact integers; round-cast BEFORE the key
-        # arithmetic (f32 keys lose exactness past 2^24, i.e. res >= 128)
-        ox = (vals[:, 0:6] + 0.5).astype(jnp.int32)
-        oy = (vals[:, 6:12] + 0.5).astype(jnp.int32)
-        oz = (vals[:, 12:18] + 0.5).astype(jnp.int32)
-        dir_idx = (vals[:, 18:24] + 0.5).astype(jnp.int32)
         valid = vals[:, 24:26] > 0.5                          # [C,2]
-        cxi = cx.astype(jnp.int32)
-        cyi = cy.astype(jnp.int32)
-        czi = cz.astype(jnp.int32)
-        key = (((cxi + ox) * n + (cyi + oy)) * n + (czi + oz)) * 7 + dir_idx
-        face_slots = slot_of_key[key]                         # [C,6]
+        st = sel[tnum].reshape(6 * 16, -1)                    # [96, U]
+        g = (e_t @ st.T).reshape(-1, 6, 16)                   # [C,6,16]
+        slots = jnp.sum(g * onehot[:, None, :], axis=-1)      # [C,6] exact f32
+        face_slots = (slots + 0.5).astype(jnp.int32)
         all_faces.append(face_slots.reshape(-1, 3))
         all_valid.append(valid.reshape(-1))
 
