@@ -103,9 +103,19 @@ def convert_t5_encoder(torch_sd: Dict[str, np.ndarray],
 def main() -> None:
     import torch
 
+    import os
+
+    from followmyhold_tpu.text.tokenizers import install_tokenizer_files
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--clip_ckpt", default=None)
     parser.add_argument("--t5_ckpt", default=None)
+    parser.add_argument("--clip_tokenizer_dir", default=None,
+                        help="dir with vocab.json+merges.txt (default: the "
+                             "FLUX repo's tokenizer/ next to --clip_ckpt)")
+    parser.add_argument("--t5_tokenizer_dir", default=None,
+                        help="dir with tokenizer.json or spiece.model "
+                             "(default: tokenizer_2/ next to --t5_ckpt)")
     args = parser.parse_args()
     if args.clip_ckpt:
         sd = torch.load(args.clip_ckpt, map_location="cpu", weights_only=True)
@@ -113,12 +123,33 @@ def main() -> None:
             {k: v.numpy() for k, v in sd.items()})
         print("clip:", report.summary())
         print("saved ->", save_params("flux_clip", params))
+        tdir = args.clip_tokenizer_dir or os.path.join(
+            os.path.dirname(os.path.dirname(args.clip_ckpt)), "tokenizer")
+        files = {n: os.path.join(tdir, n) for n in ("vocab.json", "merges.txt")
+                 if os.path.exists(os.path.join(tdir, n))}
+        if len(files) == 2:
+            print("clip tokenizer ->",
+                  install_tokenizer_files("flux_clip", files))
+        else:
+            print(f"WARNING: no CLIP vocab.json+merges.txt under {tdir} — "
+                  "inpainting will refuse to run with these params")
     if args.t5_ckpt:
         sd = torch.load(args.t5_ckpt, map_location="cpu", weights_only=True)
         params, report = convert_t5_encoder(
             {k: v.numpy() for k, v in sd.items()})
         print("t5:", report.summary())
         print("saved ->", save_params("flux_t5", params))
+        tdir = args.t5_tokenizer_dir or os.path.join(
+            os.path.dirname(os.path.dirname(args.t5_ckpt)), "tokenizer_2")
+        files = {n: os.path.join(tdir, n)
+                 for n in ("tokenizer.json", "spiece.model")
+                 if os.path.exists(os.path.join(tdir, n))}
+        if files:
+            print("t5 tokenizer ->",
+                  install_tokenizer_files("flux_t5", files))
+        else:
+            print(f"WARNING: no T5 tokenizer.json/spiece.model under {tdir} — "
+                  "inpainting will refuse to run with these params")
 
 
 if __name__ == "__main__":

@@ -215,14 +215,29 @@ def convert_gdino(torch_sd: Dict[str, np.ndarray],
 def main() -> None:
     import torch
 
+    import os
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--vocab", default=None,
+                        help="BERT vocab.txt (default: next to --ckpt); "
+                             "installed to assets tokenizers/gdino/ so "
+                             "detect_text_prompt can build real input_ids")
     args = parser.parse_args()
     ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in ckpt.items() if hasattr(v, "numpy")}
     params, report = convert_gdino(sd)
     print(report.summary())
     print("saved ->", save_params("gdino", params))
+    vocab = args.vocab or os.path.join(os.path.dirname(args.ckpt), "vocab.txt")
+    if os.path.exists(vocab):
+        from followmyhold_tpu.text.tokenizers import install_tokenizer_files
+
+        print("tokenizer ->",
+              install_tokenizer_files("gdino", {"vocab.txt": vocab}))
+    else:
+        print(f"WARNING: no vocab.txt at {vocab} — detect_text_prompt will "
+              "refuse to run with these params until one is installed")
     if report.missing_src or report.unused_src:
         print("naming drift:", report.missing_src[:8], report.unused_src[:8])
 

@@ -678,13 +678,47 @@ def simple_tokenize(text: str, max_len: int = 64,
     Real runs should use the checkpoint's BertTokenizer vocab (conversion
     stores it); this keeps the graph drivable without vocab files."""
     words = text.lower().replace(".", " . ").split()
-    span = max(vocab_size - 1100, 1)
-    ids = [101] + [1100 + (hash(w) % span) if w != "." else 1012
+    base = min(1100, max(vocab_size - 8, 1))
+    span = max(vocab_size - base, 1)
+    ids = [101] + [base + (hash(w) % span) if w != "." else 1012
                    for w in words] + [102]
-    ids = ids[:max_len]
+    ids = [min(i, vocab_size - 1) for i in ids][:max_len]
     out = np.zeros((1, len(ids)), np.int64)
     out[0, :len(ids)] = ids
     return out
+
+
+def preprocess_caption(prompt: str) -> str:
+    """HF GroundingDinoProcessor caption contract: lowercase + trailing '.'"""
+    prompt = prompt.lower().strip()
+    return prompt if prompt.endswith(".") else prompt + "."
+
+
+def tokenize_prompt(prompt: str, vocab_size: int = 30522) -> np.ndarray:
+    """Tokenize a GDINO caption with the checkpoint's real BERT WordPiece
+    vocab (assets tokenizers/gdino/vocab.txt, installed by convert.gdino).
+
+    Without a vocab: falls back to hashed ids so seed-init smoke runs stay
+    drivable — but HARD-FAILS if real converted gdino params are present,
+    because hash ids would silently produce confidently-wrong detections
+    (set FOHO_ALLOW_HASH_TOKENIZER=1 to override for debugging)."""
+    import os
+
+    from followmyhold_tpu.text.tokenizers import load_gdino_tokenizer
+
+    caption = preprocess_caption(prompt)
+    tok = load_gdino_tokenizer()
+    if tok is not None:
+        return tok.encode(caption, max_len=256)
+    from followmyhold_tpu.utils.params import has_params
+
+    if has_params("gdino") and not os.environ.get("FOHO_ALLOW_HASH_TOKENIZER"):
+        raise RuntimeError(
+            "converted gdino params exist but no BERT vocab was installed "
+            "(expected assets tokenizers/gdino/vocab.txt — rerun "
+            "followmyhold_tpu.convert.gdino with --vocab, or set "
+            "FOHO_ALLOW_HASH_TOKENIZER=1 to knowingly use garbage ids)")
+    return simple_tokenize(caption, vocab_size=vocab_size)
 
 
 def detect_text_prompt(model: GroundingDino, params, image_rgb: np.ndarray,
@@ -694,9 +728,7 @@ def detect_text_prompt(model: GroundingDino, params, image_rgb: np.ndarray,
     image pixels, scores) above threshold (lang_sam.py:18-74 contract)."""
     c = model.cfg
     if input_ids is None:
-        input_ids = simple_tokenize(prompt if prompt.endswith(".")
-                                    else prompt + ".",
-                                    vocab_size=c.bert.vocab_size)
+        input_ids = tokenize_prompt(prompt, vocab_size=c.bert.vocab_size)
     kwargs = preprocess_inputs(image_rgb, input_ids, c.image_size)
     out = model.apply(params, **kwargs)
     logits = np.asarray(out["logits"][0])                # [Q, max_text_len]

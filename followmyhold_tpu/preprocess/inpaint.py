@@ -39,6 +39,47 @@ def _read_gemini_names(path: Optional[str]) -> Dict[str, str]:
 _LEARNED = None
 
 
+def tokenize_flux_prompt(prompt: str, clip_cfg, t5_cfg, t5_max_len: int = 512):
+    """(clip_ids [1,77], t5_ids [1,512]) via the checkpoint tokenizers.
+
+    Mirrors diffusers FluxKontextPipeline.encode_prompt: CLIP BPE padded to
+    77 with EOS, T5 unigram padded to max_sequence_length=512 (no attention
+    mask — padded slots attend, as in the reference). Vocabs are installed by
+    convert.flux_text; without them, falls back to hashed ids for seed-init
+    smoke runs but HARD-FAILS when real converted text-tower params exist
+    (FOHO_ALLOW_HASH_TOKENIZER=1 overrides)."""
+    from followmyhold_tpu.text.tokenizers import (
+        load_clip_tokenizer,
+        load_t5_tokenizer,
+    )
+
+    clip_tok = load_clip_tokenizer()
+    t5_tok = load_t5_tokenizer()
+    if clip_tok is not None and t5_tok is not None:
+        return (clip_tok.encode(prompt, max_len=77),
+                t5_tok.encode(prompt, max_len=t5_max_len, pad_to_max=True))
+    from followmyhold_tpu.utils.params import has_params
+
+    if ((has_params("flux_clip") or has_params("flux_t5"))
+            and not os.environ.get("FOHO_ALLOW_HASH_TOKENIZER")):
+        raise RuntimeError(
+            "converted FLUX text-tower params exist but tokenizer vocabs are "
+            "missing (expected assets tokenizers/flux_clip/{vocab.json,"
+            "merges.txt} + tokenizers/flux_t5/{tokenizer.json|spiece.model} — "
+            "rerun followmyhold_tpu.convert.flux_text with --tokenizer_dirs, "
+            "or set FOHO_ALLOW_HASH_TOKENIZER=1 to knowingly use garbage ids)")
+    from followmyhold_tpu.models.gdino import simple_tokenize
+
+    t5_ids = simple_tokenize(prompt, 64, t5_cfg.vocab_size)
+    words = prompt.lower().split()[:20]
+    span = max(clip_cfg.vocab_size - 1000, 1)
+    clip_ids = np.asarray(
+        [[clip_cfg.eos_token_id - 1]
+         + [1000 + hash(w) % (span - 2) for w in words]
+         + [clip_cfg.eos_token_id]], np.int64)
+    return clip_ids, t5_ids
+
+
 class FluxKontextInpainter:
     """FLUX.1-Kontext hand removal (reference inpaint.py:41-77): transformer
     + VAE + CLIP/T5 text towers, all checkpoint-converted (convert/flux*.py).
@@ -84,18 +125,8 @@ class FluxKontextInpainter:
         from followmyhold_tpu.models.flux import kontext_edit
         from followmyhold_tpu.utils.prng import SEED_INPAINT, stage_key
 
-        # tokenization: CLIP BPE / T5 sentencepiece vocabs ship with the
-        # checkpoints; fall back to hashed ids so the graph stays drivable
-        from followmyhold_tpu.models.gdino import simple_tokenize
-
-        t5_ids = simple_tokenize(prompt, 64, self.t5.cfg.vocab_size)
-        # CLIP framing: bos ... eos (the pooled output reads the EOS slot)
-        words = prompt.lower().split()[:20]
-        span = max(self.clip.cfg.vocab_size - 1000, 1)
-        clip_ids = np.asarray(
-            [[self.clip.cfg.eos_token_id - 1]
-             + [1000 + hash(w) % (span - 2) for w in words]
-             + [self.clip.cfg.eos_token_id]], np.int64)
+        clip_ids, t5_ids = tokenize_flux_prompt(prompt, self.clip.cfg,
+                                                self.t5.cfg)
         t5_states = self.t5.apply(self.t5_params, jnp.asarray(t5_ids, jnp.int32))
         _, pooled = self.clip.apply(self.clip_params,
                                     jnp.asarray(clip_ids, jnp.int32))
