@@ -85,6 +85,10 @@ class GuidanceTargets(NamedTuple):
     hand_mask: jnp.ndarray         # [H,W] bool
     obj_mask: jnp.ndarray          # [H,W] bool
     t_h2m: jnp.ndarray             # [4,4] hunyuan -> moge transform
+    # traced per-image horizontal fov (MoGe fov.json). Intrinsics are
+    # per-image (reference guidance/run.py:84-90), so batched runs must not
+    # bake image 0's fov into the static camera; None -> camera.fov_deg.
+    fov_deg: Optional[jnp.ndarray] = None
 
 
 class PoseParams(NamedTuple):
@@ -121,10 +125,10 @@ def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
                       vert_mask=jnp.ones(verts.shape[0]), face_mask=fmask)
     vn = vertex_normals(mesh)
     n01, disp01, out = render_normal_and_disparity(
-        camera, verts, faces, vn, fmask, **raster_kw)
+        camera, verts, faces, vn, fmask, fov_deg=targets.fov_deg, **raster_kw)
 
     kps3d = mano_vert_to_3dkps(verts, targets.j_regressor)
-    kps2d = camera.project(kps3d)[:, :2]
+    kps2d = camera.project(kps3d, fov_deg=targets.fov_deg)[:, :2]
 
     losses = {
         "kps2d": mse(kps2d, targets.hamer_2d_kps),
@@ -331,7 +335,7 @@ class GuidedSampler:
             vn = vertex_normals(tmesh)
             n01, disp01, out = render_normal_and_disparity(
                 self.camera, tmesh.verts, tmesh.faces, vn, tmesh.face_mask,
-                **self._raster_kw())
+                fov_deg=targets.fov_deg, **self._raster_kw())
             edges, emask = mesh_edges(tmesh.faces, tmesh.face_mask)
             total = (
                 1.0 * mesh_edge_loss(tmesh.verts, edges, emask)
@@ -431,7 +435,7 @@ class GuidedSampler:
             vn = vertex_normals(hoi)
             n01, disp01, out = render_normal_and_disparity(
                 self.camera, hoi.verts, hoi.faces, vn, hoi.face_mask,
-                **self._raster_kw())
+                fov_deg=targets.fov_deg, **self._raster_kw())
 
             edges, emask = mesh_edges(tmesh.faces, tmesh.face_mask)
             total = (
@@ -627,7 +631,7 @@ class GuidedSampler:
         vn = vertex_normals(hoi)
         n01, disp01, _ = render_normal_and_disparity(
             self.camera, hoi.verts, hoi.faces, vn, hoi.face_mask,
-            **self._raster_kw())
+            fov_deg=targets.fov_deg, **self._raster_kw())
         debug.dump_array(f"{tag}_normal.npy", n01)
         debug.dump_array(f"{tag}_disp.npy", disp01)
 

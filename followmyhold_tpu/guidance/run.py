@@ -94,6 +94,7 @@ def build_targets(
         hand_mask=jnp.asarray(hand_mask),
         obj_mask=jnp.asarray(obj_mask),
         t_h2m=jnp.asarray(t_h2m),
+        fov_deg=jnp.asarray(camera.fov_deg, jnp.float32),
     )
 
 
@@ -197,7 +198,9 @@ def run_batch_images(image_jobs, config: OptimizationConfig, models,
         image_id = os.path.basename(job["cropped_obj_img_path"]).split("_")[0]
         keys.append(stage_key(SEED_GUIDANCE, "guidance", image_id))
 
-    camera = per_image[0][0]      # one jitted graph: same crop size across jobs
+    # one jitted graph: H/W/znear/zfar are static and shared across the batch
+    # (same 512^2 crop size); per-image fov rides in targets.fov_deg (traced)
+    camera = per_image[0][0]
     targets_b = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[t for _, t in per_image])
     cond_b = jnp.stack([c for c, _ in conds])

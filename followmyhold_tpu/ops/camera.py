@@ -92,30 +92,47 @@ class GuidanceCamera:
             math.radians(self.fov_deg) / 2.0
         )
 
+    def _focal(self, fov_deg):
+        """focal_px for a (possibly traced) per-image fov override.
+
+        fov varies per image (MoGe fov.json), so batched guidance threads it
+        as a traced GuidanceTargets field rather than baking image 0's value
+        into the static camera (reference guidance/run.py:84-90 builds the
+        camera per image)."""
+        if fov_deg is None:
+            return self.focal_px
+        half = jnp.deg2rad(fov_deg) / 2.0
+        return (min(self.height, self.width) - 1) / 2.0 / jnp.tan(half)
+
     def to_camera_space(self, points: jnp.ndarray) -> jnp.ndarray:
         """GL-convention world points -> OpenCV camera coords (z>0 forward)."""
         return points * jnp.asarray([1.0, -1.0, -1.0], points.dtype)
 
-    def project(self, points: jnp.ndarray) -> jnp.ndarray:
+    def project(self, points: jnp.ndarray, fov_deg=None) -> jnp.ndarray:
         """World points [..., 3] -> (u, v, depth) [..., 3].
 
         (u, v) in pixels (origin top-left, v down); depth is camera-space z.
         Equivalent to PyTorch3D transform_points_screen under the reference's
-        camera (pipelines.py:1336).
+        camera (pipelines.py:1336). fov_deg (traced scalar) overrides the
+        static fov for per-image batched intrinsics.
         """
         cam = self.to_camera_space(points)
         z = jnp.maximum(cam[..., 2], 1e-6)
-        u = (self.width - 1) / 2.0 + self.focal_px * cam[..., 0] / z
-        v = (self.height - 1) / 2.0 + self.focal_px * cam[..., 1] / z
+        f = self._focal(fov_deg)
+        u = (self.width - 1) / 2.0 + f * cam[..., 0] / z
+        v = (self.height - 1) / 2.0 + f * cam[..., 1] / z
         return jnp.stack([u, v, cam[..., 2]], axis=-1)
 
-    def ndc(self, points: jnp.ndarray) -> jnp.ndarray:
+    def ndc(self, points: jnp.ndarray, fov_deg=None) -> jnp.ndarray:
         """World points -> (x_ndc, y_ndc, depth); NDC in [-1, 1], x right/y down."""
         cam = self.to_camera_space(points)
         z = jnp.maximum(cam[..., 2], 1e-6)
-        import math
+        if fov_deg is None:
+            import math
 
-        s = 1.0 / math.tan(math.radians(self.fov_deg) / 2.0)
+            s = 1.0 / math.tan(math.radians(self.fov_deg) / 2.0)
+        else:
+            s = 1.0 / jnp.tan(jnp.deg2rad(fov_deg) / 2.0)
         x = s * cam[..., 0] / z
         y = s * cam[..., 1] / z
         return jnp.stack([x, y, cam[..., 2]], axis=-1)

@@ -61,8 +61,9 @@ class RasterOut(NamedTuple):
     face_id: jnp.ndarray  # [H,W] int32 winning face, -1 where empty
 
 
-def _face_screen(camera: GuidanceCamera, verts: jnp.ndarray, faces: jnp.ndarray):
-    uvz = camera.project(verts)                    # [V,3]
+def _face_screen(camera: GuidanceCamera, verts: jnp.ndarray, faces: jnp.ndarray,
+                 fov_deg=None):
+    uvz = camera.project(verts, fov_deg=fov_deg)   # [V,3]
     tri = uvz[faces]                               # [F,3,3]
     return tri
 
@@ -574,11 +575,12 @@ def rasterize(
     faces_per_tile: int = 4096,
     chunk: int = 512,
     force_xla: bool = False,
+    fov_deg=None,              # traced per-image fov override (batched dp)
 ) -> RasterOut:
     H, W = camera.height, camera.width
     assert H % tile == 0 and W % tile == 0
 
-    tri = _face_screen(camera, verts, faces)       # [F,3,3] (u,v,z)
+    tri = _face_screen(camera, verts, faces, fov_deg)  # [F,3,3] (u,v,z)
     tri_n = vert_normals[faces]                    # [F,3,3]
     valid = (face_mask > 0) & jnp.all(tri[..., 2] > camera.znear, axis=-1)
 
@@ -605,13 +607,15 @@ def render_normal_and_disparity(
     face_mask: jnp.ndarray,
     sigma_px: float = 0.7,
     faces_per_tile: int = 4096,
+    fov_deg=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, RasterOut]:
     """Normal map in [0,1] + normalized disparity, reference semantics
     (pipelines.py:272-289): empty depth -> 10, disparity = 1/(z+1e-6),
     both maps min/max-normalized over the image; background normals 0.
     """
     out = rasterize(camera, verts, faces, vert_normals, face_mask,
-                    sigma_px=sigma_px, faces_per_tile=faces_per_tile)
+                    sigma_px=sigma_px, faces_per_tile=faces_per_tile,
+                    fov_deg=fov_deg)
     mask = out.face_id >= 0
 
     n = out.normal
