@@ -19,8 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from followmyhold_tpu.convert.common import ConversionReport, dense_kernel, put, to_mutable
+from followmyhold_tpu.convert.common import (
+    ConversionReport,
+    conv_kernel,
+    dense_kernel,
+    put,
+    to_mutable,
+)
 from followmyhold_tpu.models.hunyuan import (
+    Conditioner,
+    ConditionerConfig,
     DiTConfig,
     HunyuanDiT,
     ShapeVAE,
@@ -69,6 +77,12 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg: DiTConfig | None = None,
         if ok and stacked:
             put(params, dst, np.stack(stacked), report)
 
+    if cfg.guidance_embed:
+        for n, fl in (("guidance_in.in_layer", "guidance_in/in_layer"),
+                      ("guidance_in.out_layer", "guidance_in/out_layer")):
+            take(f"{n}.weight", f"params/{fl}/kernel", dense_kernel)
+            take(f"{n}.bias", f"params/{fl}/bias")
+
     # nn.scan layout: per-layer tensors stacked along a leading depth axis
     for stream in ("img", "txt"):
         for src_rel, dst_rel, tf in (
@@ -76,6 +90,8 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg: DiTConfig | None = None,
             (f"{stream}_mod.lin.bias", f"{stream}_mod/lin/bias", None),
             (f"{stream}_attn.qkv.weight", f"{stream}_qkv/kernel", dense_kernel),
             (f"{stream}_attn.qkv.bias", f"{stream}_qkv/bias", None),
+            (f"{stream}_attn.norm.query_norm.scale", f"{stream}_qnorm/scale", None),
+            (f"{stream}_attn.norm.key_norm.scale", f"{stream}_knorm/scale", None),
             (f"{stream}_attn.proj.weight", f"{stream}_proj/kernel", dense_kernel),
             (f"{stream}_attn.proj.bias", f"{stream}_proj/bias", None),
             (f"{stream}_mlp.0.weight", f"{stream}_mlp1/kernel", dense_kernel),
@@ -89,6 +105,8 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg: DiTConfig | None = None,
     for src_rel, dst_rel, tf in (
         ("modulation.lin.weight", "mod/lin/kernel", dense_kernel),
         ("modulation.lin.bias", "mod/lin/bias", None),
+        ("norm.query_norm.scale", "qnorm/scale", None),
+        ("norm.key_norm.scale", "knorm/scale", None),
         ("linear1.weight", "linear1/kernel", dense_kernel),
         ("linear1.bias", "linear1/bias", None),
         ("linear2.weight", "linear2/kernel", dense_kernel),
@@ -158,16 +176,157 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg: ShapeVAEConfig | None = None):
     take("ln_post.weight", "params/decoder/ln_post/scale")
     take("ln_post.bias", "params/decoder/ln_post/bias")
 
-    # geo decoder (cross-attention query head)
+    # geo decoder: Michelangelo/vecset CrossAttentionDecoder —
+    # query_proj + ResidualCrossAttentionBlock(ln_1/ln_2 pre-norms,
+    # c_q/c_kv/c_proj cross-attention, ln_3 + c_fc/c_proj MLP) + ln_post +
+    # output_proj (contract at pipelines.py:305)
+    g = "geo_decoder.cross_attn_decoder"
     take("geo_decoder.query_proj.weight", "params/geo/query_in/kernel", dense_kernel)
     take("geo_decoder.query_proj.bias", "params/geo/query_in/bias")
-    take("geo_decoder.attn.c_q.weight", "params/geo/q/kernel", dense_kernel)
-    take("geo_decoder.attn.c_kv.weight", "params/geo/kv/kernel", dense_kernel)
-    take("geo_decoder.attn.c_proj.weight", "params/geo/proj/kernel", dense_kernel)
+    take(f"{g}.ln_1.weight", "params/geo/lnq/scale")
+    take(f"{g}.ln_1.bias", "params/geo/lnq/bias")
+    take(f"{g}.ln_2.weight", "params/geo/lnkv/scale")
+    take(f"{g}.ln_2.bias", "params/geo/lnkv/bias")
+    take(f"{g}.attn.c_q.weight", "params/geo/q/kernel", dense_kernel)
+    take(f"{g}.attn.c_q.bias", "params/geo/q/bias")
+    take(f"{g}.attn.c_kv.weight", "params/geo/kv/kernel", dense_kernel)
+    take(f"{g}.attn.c_kv.bias", "params/geo/kv/bias")
+    take(f"{g}.attn.c_proj.weight", "params/geo/proj/kernel", dense_kernel)
+    take(f"{g}.attn.c_proj.bias", "params/geo/proj/bias")
+    take(f"{g}.ln_3.weight", "params/geo/ln3/scale")
+    take(f"{g}.ln_3.bias", "params/geo/ln3/bias")
+    take(f"{g}.mlp.c_fc.weight", "params/geo/fc1/kernel", dense_kernel)
+    take(f"{g}.mlp.c_fc.bias", "params/geo/fc1/bias")
+    take(f"{g}.mlp.c_proj.weight", "params/geo/fc2/kernel", dense_kernel)
+    take(f"{g}.mlp.c_proj.bias", "params/geo/fc2/bias")
     take("geo_decoder.ln_post.weight", "params/geo/ln_out/scale")
     take("geo_decoder.ln_post.bias", "params/geo/ln_out/bias")
     take("geo_decoder.output_proj.weight", "params/geo/logit/kernel", dense_kernel)
     take("geo_decoder.output_proj.bias", "params/geo/logit/bias")
+
+    report.unused_src.extend(sd.keys())
+    return params, report
+
+
+def convert_conditioner(sd: Dict[str, np.ndarray],
+                        cfg: ConditionerConfig | None = None):
+    """ckpt['conditioner'] -> Conditioner params.
+
+    hy3dgen's SingleImageEncoder wraps a DINOv2-giant under
+    main_image_encoder.model.*; both the HF Dinov2Model naming
+    (embeddings./encoder.layer.N.) and the dinov2-repo/timm naming
+    (patch_embed./blocks.N.) are handled — the released checkpoint's exact
+    revision decides which branch fires (ConversionReport flags drift)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = cfg or ConditionerConfig()
+    model = Conditioner(cfg)
+    params = to_mutable(model.init(
+        jax.random.key(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3))))
+    report = ConversionReport()
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    for k in list(sd):
+        if "unconditional_embedding" in k or k.endswith("uncond_embedding"):
+            put(params, "params/uncond_embedding", sd.pop(k), report)
+
+    root = "params/encoder/encoder"
+    timm_pfx = hf_pfx = None
+    for k in sd:
+        if k.endswith("patch_embed.proj.weight"):
+            timm_pfx = k[: -len("patch_embed.proj.weight")]
+            break
+        if k.endswith("embeddings.patch_embeddings.projection.weight"):
+            hf_pfx = k[: -len("embeddings.patch_embeddings.projection.weight")]
+            break
+    if timm_pfx is not None:
+        from followmyhold_tpu.convert.vit_torch import convert_vit
+
+        sd.pop(f"{timm_pfx}mask_token", None)
+        convert_vit(sd, params, prefix=timm_pfx, flax_prefix=root,
+                    depth=cfg.depth, report=report)
+        return params, report
+    if hf_pfx is None:
+        report.missing_src.append("<no dinov2 patch-embed key found>")
+        report.unused_src.extend(sd.keys())
+        return params, report
+
+    def take(src, dst, tf=None):
+        key = hf_pfx + src
+        if key in sd:
+            put(params, f"{root}/{dst}", tf(sd.pop(key)) if tf else sd.pop(key),
+                report)
+        else:
+            report.missing_src.append(key)
+
+    sd.pop(f"{hf_pfx}embeddings.mask_token", None)
+    take("embeddings.cls_token", "cls_token")
+    take("embeddings.position_embeddings", "pos_embed")
+    take("embeddings.patch_embeddings.projection.weight",
+         "patch_embed/kernel", conv_kernel)
+    take("embeddings.patch_embeddings.projection.bias", "patch_embed/bias")
+
+    def take_stacked(src_fmt, dst, tf=None):
+        stacked = []
+        ok = True
+        for i in range(cfg.depth):
+            key = hf_pfx + src_fmt.format(i=i)
+            if key in sd:
+                v = sd.pop(key)
+                stacked.append(tf(v) if tf else v)
+            else:
+                report.missing_src.append(key)
+                ok = False
+        if ok and stacked:
+            put(params, f"{root}/blocks/block/{dst}", np.stack(stacked), report)
+
+    def qkv_cat(i, suffix):
+        parts = []
+        for name in ("query", "key", "value"):
+            key = f"{hf_pfx}encoder.layer.{i}.attention.attention.{name}.{suffix}"
+            if key not in sd:
+                report.missing_src.append(key)
+                return None
+            parts.append(sd.pop(key))
+        return np.concatenate(parts, axis=0)
+
+    qkv_w = [qkv_cat(i, "weight") for i in range(cfg.depth)]
+    qkv_b = [qkv_cat(i, "bias") for i in range(cfg.depth)]
+    if all(v is not None for v in qkv_w):
+        put(params, f"{root}/blocks/block/attn/qkv/kernel",
+            np.stack([dense_kernel(v) for v in qkv_w]), report)
+    if all(v is not None for v in qkv_b):
+        put(params, f"{root}/blocks/block/attn/qkv/bias", np.stack(qkv_b),
+            report)
+
+    for src_rel, dst_rel, tf in (
+        ("norm1.weight", "norm1/scale", None),
+        ("norm1.bias", "norm1/bias", None),
+        ("attention.output.dense.weight", "attn/proj/kernel", dense_kernel),
+        ("attention.output.dense.bias", "attn/proj/bias", None),
+        ("layer_scale1.lambda1", "ls1", None),
+        ("norm2.weight", "norm2/scale", None),
+        ("norm2.bias", "norm2/bias", None),
+        ("layer_scale2.lambda1", "ls2", None),
+    ):
+        take_stacked("encoder.layer.{i}." + src_rel, dst_rel, tf)
+    if cfg.ffn == "swiglu":
+        for src_rel, dst_rel in (("mlp.weights_in", "mlp/w12"),
+                                 ("mlp.weights_out", "mlp/w3")):
+            take_stacked("encoder.layer.{i}." + src_rel + ".weight",
+                         dst_rel + "/kernel", dense_kernel)
+            take_stacked("encoder.layer.{i}." + src_rel + ".bias",
+                         dst_rel + "/bias")
+    else:
+        for src_rel, dst_rel in (("mlp.fc1", "mlp/fc1"), ("mlp.fc2", "mlp/fc2")):
+            take_stacked("encoder.layer.{i}." + src_rel + ".weight",
+                         dst_rel + "/kernel", dense_kernel)
+            take_stacked("encoder.layer.{i}." + src_rel + ".bias",
+                         dst_rel + "/bias")
+    take("layernorm.weight", "norm/scale")
+    take("layernorm.bias", "norm/bias")
 
     report.unused_src.extend(sd.keys())
     return params, report
@@ -186,7 +345,14 @@ def main() -> None:
     print("vae:", r2.summary())
     print("saved ->", save_params("hunyuan_dit", dit_params))
     print("saved ->", save_params("hunyuan_vae", vae_params))
-    for r, name in ((r1, "dit"), (r2, "vae")):
+    reports = [(r1, "dit"), (r2, "vae")]
+    if "conditioner" in ckpt:
+        cond_params, r3 = convert_conditioner(
+            {k: v.numpy() for k, v in ckpt["conditioner"].items()})
+        print("conditioner:", r3.summary())
+        print("saved ->", save_params("hunyuan_conditioner", cond_params))
+        reports.append((r3, "conditioner"))
+    for r, name in reports:
         if r.missing_src or r.unused_src:
             print(f"[{name}] inspect naming drift: missing={r.missing_src[:10]} "
                   f"unused={r.unused_src[:10]}")

@@ -40,6 +40,13 @@ _BLOCK_MAP = [
     ("mlp.fc2.bias", "mlp/fc2/bias", None),
 ]
 _BLOCK_OPTIONAL = [("ls1.gamma", "ls1", None), ("ls2.gamma", "ls2", None)]
+# dinov2-giant fused SwiGLU FFN (mlp.w12/w3) replaces mlp.fc1/fc2
+_BLOCK_SWIGLU = [
+    ("mlp.w12.weight", "mlp/w12/kernel", dense_kernel),
+    ("mlp.w12.bias", "mlp/w12/bias", None),
+    ("mlp.w3.weight", "mlp/w3/kernel", dense_kernel),
+    ("mlp.w3.bias", "mlp/w3/bias", None),
+]
 
 
 def convert_vit(
@@ -85,6 +92,9 @@ def convert_vit(
 
     # stack per-layer tensors along a leading depth axis
     block_map = list(_BLOCK_MAP)
+    if "blocks.0.mlp.w12.weight" in sd:
+        block_map = [m for m in block_map if not m[0].startswith("mlp.")]
+        block_map += _BLOCK_SWIGLU
     if "blocks.0.ls1.gamma" in sd:
         block_map += _BLOCK_OPTIONAL
     for src_rel, dst_rel, tf in block_map:

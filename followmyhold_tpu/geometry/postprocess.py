@@ -35,12 +35,23 @@ def _connected_components(num_verts: int, faces: np.ndarray) -> np.ndarray:
     return np.array([find(i) for i in range(num_verts)])
 
 
+def _sanitize(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Drop faces with out-of-range vertex ids — device-side capacity
+    overflow can truncate verts while a stale face still points past the end
+    (ops/surface.py warns; host postprocess must not crash on it)."""
+    if len(faces) == 0:
+        return faces
+    ok = (faces >= 0).all(axis=1) & (faces < len(verts)).all(axis=1)
+    return faces if ok.all() else faces[ok]
+
+
 def remove_floaters(verts: np.ndarray, faces: np.ndarray,
                     keep_ratio: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
     """Keep only the largest connected component (FloaterRemover semantics).
 
     Uses the native C++ union-find (followmyhold_tpu.native) when available;
     NumPy fallback otherwise."""
+    faces = _sanitize(verts, faces)
     if len(faces) == 0:
         return verts, faces
     from followmyhold_tpu import native
@@ -59,6 +70,7 @@ def remove_floaters(verts: np.ndarray, faces: np.ndarray,
 def remove_degenerate_faces(verts: np.ndarray, faces: np.ndarray,
                             eps: float = 1e-12) -> Tuple[np.ndarray, np.ndarray]:
     """Drop zero-area and repeated-index faces (DegenerateFaceRemover)."""
+    faces = _sanitize(verts, faces)
     if len(faces) == 0:
         return verts, faces
     tri = verts[faces]
@@ -80,6 +92,7 @@ def reduce_faces(verts: np.ndarray, faces: np.ndarray,
     """Decimate by vertex-grid clustering until under max_faces (FaceReducer
     capability; grid clustering instead of quadric collapse — simpler, and the
     consumer is ICP/export where exact topology is irrelevant)."""
+    faces = _sanitize(verts, faces)
     if len(faces) <= max_faces:
         return verts, faces
     from followmyhold_tpu import native

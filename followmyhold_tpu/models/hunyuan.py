@@ -102,9 +102,11 @@ class DoubleStreamBlock(nn.Module):
         def qkv(stream, name):
             q, k, v = jnp.split(
                 nn.Dense(3 * h, dtype=self.dtype, name=f"{name}_qkv")(stream), 3, -1)
-            q = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name=f"{name}_qnorm")(
+            # FLUX-contract QKNorm: per-head RMSNorm with learned scale
+            # (hunyuan3ddit double_blocks.*.{img,txt}_attn.norm.{query,key}_norm)
+            q = nn.RMSNorm(dtype=jnp.float32, name=f"{name}_qnorm")(
                 _split_heads(q, self.heads)).astype(self.dtype)
-            k = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name=f"{name}_knorm")(
+            k = nn.RMSNorm(dtype=jnp.float32, name=f"{name}_knorm")(
                 _split_heads(k, self.heads)).astype(self.dtype)
             return q, k, _split_heads(v, self.heads)
 
@@ -155,9 +157,9 @@ class SingleStreamBlock(nn.Module):
         mlp_dim = int(h * self.mlp_ratio)
         qkv_mlp = nn.Dense(3 * h + mlp_dim, dtype=self.dtype, name="linear1")(xn)
         q, k, v, m = jnp.split(qkv_mlp, [h, 2 * h, 3 * h], axis=-1)
-        q = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name="qnorm")(
+        q = nn.RMSNorm(dtype=jnp.float32, name="qnorm")(
             _split_heads(q, self.heads)).astype(self.dtype)
-        k = nn.LayerNorm(dtype=jnp.float32, use_bias=False, name="knorm")(
+        k = nn.RMSNorm(dtype=jnp.float32, name="knorm")(
             _split_heads(k, self.heads)).astype(self.dtype)
         attn = _merge_heads(multi_head_attention(q, k, _split_heads(v, self.heads)))
         out = nn.Dense(h, dtype=self.dtype, name="linear2")(
@@ -348,7 +350,10 @@ class ShapeVAEDecoder(nn.Module):
 
 class GeoDecoder(nn.Module):
     """Occupancy-logit query head: cross-attend Fourier-embedded points to the
-    decoded latent set (reference vae.geo_decoder, pipelines.py:305).
+    decoded latent set (reference vae.geo_decoder, pipelines.py:305), with the
+    Michelangelo/vecset ResidualCrossAttentionBlock contract: a cross-attn
+    residual (ln_1 on queries, ln_2 on the latent set) followed by an MLP
+    residual (ln_3 -> c_fc -> GELU -> c_proj), then ln_post + output_proj.
 
     Split into kv_feats (per decoded latent set, computed ONCE) and query
     (per chunk of points) so the chunked grid decode doesn't re-project the
@@ -365,6 +370,9 @@ class GeoDecoder(nn.Module):
         self.lnkv = nn.LayerNorm(dtype=jnp.float32)
         self.q = nn.Dense(c.width, dtype=c.dtype)
         self.proj = nn.Dense(c.width, dtype=c.dtype)
+        self.ln3 = nn.LayerNorm(dtype=jnp.float32)
+        self.fc1 = nn.Dense(4 * c.width, dtype=c.dtype)
+        self.fc2 = nn.Dense(c.width, dtype=c.dtype)
         self.ln_out = nn.LayerNorm(dtype=jnp.float32)
         self.logit = nn.Dense(1, dtype=jnp.float32)
 
@@ -383,6 +391,8 @@ class GeoDecoder(nn.Module):
         attn = multi_head_attention(qh, _split_heads(k, c.geo_heads),
                                     _split_heads(v, c.geo_heads))
         x = q + self.proj(_merge_heads(attn))
+        h = self.ln3(x).astype(c.dtype)
+        x = x + self.fc2(nn.gelu(self.fc1(h), approximate=False))
         x = self.ln_out(x)
         return self.logit(x)[..., 0]
 
@@ -475,19 +485,23 @@ def vae_query_logits(
 
 @dataclasses.dataclass(frozen=True)
 class ConditionerConfig:
-    """DINOv2-G image encoder -> main cond tokens (hy3dgen conditioner)."""
+    """DINOv2-G image encoder -> main cond tokens (hy3dgen conditioner).
+
+    dinov2-giant uses the fused-SwiGLU FFN (ffn="swiglu"); tiny test configs
+    keep plain MLP."""
 
     image_size: int = 518
     patch_size: int = 14
     embed_dim: int = 1536
     depth: int = 40
     heads: int = 24
+    ffn: str = "swiglu"
     dtype: jnp.dtype = jnp.bfloat16
 
 
 COND_FULL = ConditionerConfig()
 COND_TINY = ConditionerConfig(image_size=28, patch_size=14, embed_dim=32,
-                              depth=1, heads=2, dtype=jnp.float32)
+                              depth=1, heads=2, ffn="mlp", dtype=jnp.float32)
 
 
 class ImageConditioner(nn.Module):
@@ -508,7 +522,7 @@ class ImageConditioner(nn.Module):
         vcfg = ViTConfig(
             img_size=(c.image_size, c.image_size), patch_size=c.patch_size,
             embed_dim=c.embed_dim, depth=c.depth, num_heads=c.heads,
-            use_cls_token=True, layerscale_init=1e-5, dtype=c.dtype,
+            use_cls_token=True, layerscale_init=1e-5, ffn=c.ffn, dtype=c.dtype,
         )
         x = image
         if mask is not None:

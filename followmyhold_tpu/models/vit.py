@@ -44,6 +44,9 @@ class ViTConfig:
     # HaMeR keeps a cls SLOT in pos_embed without a cls token and adds it as a
     # bias to every patch token (vit.py:327: x + pos[:, 1:] + pos[:, :1]).
     pos_embed_cls_slot: bool = False
+    # "mlp" (fc1/gelu/fc2) or "swiglu" (DINOv2-giant SwiGLUFFNFused:
+    # w12 -> chunk -> silu(x1)*x2 -> w3, hidden = round8(dim*4*2/3))
+    ffn: str = "mlp"
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -89,6 +92,12 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        if c.ffn == "swiglu":
+            hidden = ((int(c.embed_dim * c.mlp_ratio * 2 / 3) + 7) // 8) * 8
+            x12 = nn.Dense(2 * hidden, dtype=c.dtype, name="w12")(x)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+            return nn.Dense(c.embed_dim, dtype=c.dtype, name="w3")(
+                nn.silu(x1) * x2)
         hidden = int(c.embed_dim * c.mlp_ratio)
         x = nn.Dense(hidden, dtype=c.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)

@@ -289,9 +289,15 @@ def marching_tets(
     n_active = active_flat.sum()
     vert_mask = (jnp.arange(max_verts) < n_active).astype(jnp.float32)
 
-    # slot lookup: key -> vertex slot
+    # slot lookup: key -> vertex slot. Pad rows of edge_ids are fill_value=0,
+    # and repeated scatters to index 0 would clobber slot_of_key[0] with
+    # max_verts-1 (dangling face ids after host truncation) — route pad rows
+    # to an out-of-bounds index instead, which JAX scatter drops.
+    pad_row = vert_mask <= 0
+    scatter_ids = jnp.where(pad_row, active_flat.shape[0], edge_ids)
     slot_of_key = jnp.zeros(active_flat.shape[0], jnp.int32)
-    slot_of_key = slot_of_key.at[edge_ids].set(jnp.arange(max_verts, dtype=jnp.int32))
+    slot_of_key = slot_of_key.at[scatter_ids].set(
+        jnp.arange(max_verts, dtype=jnp.int32), mode="drop")
 
     # vertex positions from edge interpolation
     vid = edge_ids // 7

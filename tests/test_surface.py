@@ -131,3 +131,30 @@ def test_vertex_normals_and_edges():
 
     edges, emask = mesh_edges(mesh.faces, mesh.face_mask)
     assert edges.shape[0] == mesh.faces.shape[0] * 3
+
+
+def test_marching_tets_face_ids_stay_in_range():
+    """Regression: jnp.nonzero pad rows (fill_value=0) must not clobber
+    slot_of_key[0] — a corner-touching surface whose edge key 0 is active
+    previously produced faces referencing slot max_verts-1, which dangles
+    after host truncation to num_verts (crashed geometry/postprocess)."""
+    xyz, _, _ = generate_dense_grid_points([-BOUND] * 3, [BOUND] * 3, RES)
+    # sphere centered at the grid's first corner: edge key 0 crosses it
+    corner = np.array([-BOUND, -BOUND, -BOUND], np.float32)
+    sdf = jnp.linalg.norm(xyz - corner, axis=-1) - 0.5
+    mesh = marching_tets(sdf, jnp.asarray([-BOUND] * 3), jnp.asarray([BOUND] * 3),
+                         RES, max_verts=8192, max_faces=16384)
+    nv, nf = int(mesh.num_verts), int(mesh.num_faces)
+    assert nv > 0 and nf > 0
+    faces = np.asarray(mesh.faces)[:nf]
+    assert faces.max() < nv, (faces.max(), nv)
+    assert faces.min() >= 0
+
+
+def test_postprocess_drops_out_of_range_faces():
+    from followmyhold_tpu.geometry.postprocess import remove_floaters
+
+    verts = np.eye(3, dtype=np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 1, 9999]], np.int32)
+    v, f = remove_floaters(verts, faces)
+    assert len(f) == 1 and f.max() < len(v)
