@@ -1,9 +1,12 @@
 """FLUX.1-Kontext model + converter tests (tiny configs).
 
 The transformer/VAE converters are validated for LAYOUT COMPLETENESS against
-state dicts synthesized FROM the declared mapping tables (diffusers names,
-flax shapes), and the Kontext edit loop runs end-to-end. The text towers
-(CLIP/T5) have full numeric HF oracles in test_convert_oracle.py.
+state dicts whose keys/shapes are HAND-WRITTEN here from the diffusers
+checkpoint format (FluxTransformer2DModel / AutoencoderKL without quant
+convs) — independently of the converter's own mapping tables, so a wrong
+name in the mapping fails instead of self-passing (VERDICT r2 weak #4).
+The text towers (CLIP/T5) have full numeric HF oracles in
+test_convert_oracle.py; the tokenizers in test_tokenizers.py.
 """
 
 import jax
@@ -21,25 +24,147 @@ from followmyhold_tpu.models.flux import (
     unpack_latents,
 )
 
-
-def _get(params, path):
-    node = params
-    for k in path.split("/"):
-        node = node[k]
-    return np.asarray(node)
+RNG = np.random.default_rng(0)
 
 
-def _synth_from_mapping(mapping, params, rng):
-    sd = {}
-    for src, dst, kind in mapping:
-        v = _get(params, "params/" + dst)
-        if kind == "dense":
-            shape = (v.shape[1], v.shape[0])
-        elif kind == "conv":
-            shape = (v.shape[3], v.shape[2], v.shape[0], v.shape[1])
+def _add(sd, name, *shape):
+    sd[name] = RNG.normal(0, 0.05, shape).astype(np.float32)
+
+
+def _leaf_paths(tree, prefix=""):
+    out = []
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.extend(_leaf_paths(v, p))
         else:
-            shape = v.shape
-        sd[src] = rng.normal(0, 0.05, shape).astype(np.float32)
+            out.append(p)
+    return out
+
+
+def _synth_diffusers_transformer(cfg):
+    """Exact FluxTransformer2DModel state-dict keys/shapes (diffusers)."""
+    sd = {}
+    h = cfg.hidden
+    hd = sum(cfg.axes_dims_rope)            # attention_head_dim
+    _add(sd, "x_embedder.weight", h, cfg.in_channels)
+    _add(sd, "x_embedder.bias", h)
+    _add(sd, "context_embedder.weight", h, cfg.joint_dim)
+    _add(sd, "context_embedder.bias", h)
+    towers = [("timestep_embedder", 256), ("text_embedder", cfg.pooled_dim)]
+    if cfg.guidance_embeds:
+        towers.insert(1, ("guidance_embedder", 256))
+    for name, in_dim in towers:
+        _add(sd, f"time_text_embed.{name}.linear_1.weight", h, in_dim)
+        _add(sd, f"time_text_embed.{name}.linear_1.bias", h)
+        _add(sd, f"time_text_embed.{name}.linear_2.weight", h, h)
+        _add(sd, f"time_text_embed.{name}.linear_2.bias", h)
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}"
+        for nrm in ("norm1", "norm1_context"):
+            _add(sd, f"{b}.{nrm}.linear.weight", 6 * h, h)
+            _add(sd, f"{b}.{nrm}.linear.bias", 6 * h)
+        for p in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj"):
+            _add(sd, f"{b}.attn.{p}.weight", h, h)
+            _add(sd, f"{b}.attn.{p}.bias", h)
+        for p in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            _add(sd, f"{b}.attn.{p}.weight", hd)
+        _add(sd, f"{b}.attn.to_out.0.weight", h, h)
+        _add(sd, f"{b}.attn.to_out.0.bias", h)
+        _add(sd, f"{b}.attn.to_add_out.weight", h, h)
+        _add(sd, f"{b}.attn.to_add_out.bias", h)
+        for ff in ("ff", "ff_context"):
+            _add(sd, f"{b}.{ff}.net.0.proj.weight", 4 * h, h)
+            _add(sd, f"{b}.{ff}.net.0.proj.bias", 4 * h)
+            _add(sd, f"{b}.{ff}.net.2.weight", h, 4 * h)
+            _add(sd, f"{b}.{ff}.net.2.bias", h)
+    for i in range(cfg.num_single_layers):
+        b = f"single_transformer_blocks.{i}"
+        _add(sd, f"{b}.norm.linear.weight", 3 * h, h)
+        _add(sd, f"{b}.norm.linear.bias", 3 * h)
+        for p in ("to_q", "to_k", "to_v"):
+            _add(sd, f"{b}.attn.{p}.weight", h, h)
+            _add(sd, f"{b}.attn.{p}.bias", h)
+        for p in ("norm_q", "norm_k"):
+            _add(sd, f"{b}.attn.{p}.weight", hd)
+        _add(sd, f"{b}.proj_mlp.weight", 4 * h, h)
+        _add(sd, f"{b}.proj_mlp.bias", 4 * h)
+        _add(sd, f"{b}.proj_out.weight", h, 5 * h)
+        _add(sd, f"{b}.proj_out.bias", h)
+    _add(sd, "norm_out.linear.weight", 2 * h, h)
+    _add(sd, "norm_out.linear.bias", 2 * h)
+    _add(sd, "proj_out.weight", cfg.in_channels, h)
+    _add(sd, "proj_out.bias", cfg.in_channels)
+    return sd
+
+
+def _synth_diffusers_vae(cfg):
+    """Exact AutoencoderKL keys/shapes (FLUX flavor: no quant convs)."""
+    sd = {}
+
+    def resnet(pfx, cin, cout):
+        _add(sd, f"{pfx}.norm1.weight", cin)
+        _add(sd, f"{pfx}.norm1.bias", cin)
+        _add(sd, f"{pfx}.conv1.weight", cout, cin, 3, 3)
+        _add(sd, f"{pfx}.conv1.bias", cout)
+        _add(sd, f"{pfx}.norm2.weight", cout)
+        _add(sd, f"{pfx}.norm2.bias", cout)
+        _add(sd, f"{pfx}.conv2.weight", cout, cout, 3, 3)
+        _add(sd, f"{pfx}.conv2.bias", cout)
+        if cin != cout:
+            _add(sd, f"{pfx}.conv_shortcut.weight", cout, cin, 1, 1)
+            _add(sd, f"{pfx}.conv_shortcut.bias", cout)
+
+    def mid(pfx, c):
+        resnet(f"{pfx}.resnets.0", c, c)
+        resnet(f"{pfx}.resnets.1", c, c)
+        a = f"{pfx}.attentions.0"
+        _add(sd, f"{a}.group_norm.weight", c)
+        _add(sd, f"{a}.group_norm.bias", c)
+        for p in ("to_q", "to_k", "to_v"):
+            _add(sd, f"{a}.{p}.weight", c, c)
+            _add(sd, f"{a}.{p}.bias", c)
+        _add(sd, f"{a}.to_out.0.weight", c, c)
+        _add(sd, f"{a}.to_out.0.bias", c)
+
+    chans = cfg.block_out_channels
+    _add(sd, "encoder.conv_in.weight", chans[0], 3, 3, 3)
+    _add(sd, "encoder.conv_in.bias", chans[0])
+    prev = chans[0]
+    for b, ch in enumerate(chans):
+        for l in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{b}.resnets.{l}",
+                   prev if l == 0 else ch, ch)
+        prev = ch
+        if b < len(chans) - 1:
+            _add(sd, f"encoder.down_blocks.{b}.downsamplers.0.conv.weight",
+                 ch, ch, 3, 3)
+            _add(sd, f"encoder.down_blocks.{b}.downsamplers.0.conv.bias", ch)
+    mid("encoder.mid_block", chans[-1])
+    _add(sd, "encoder.conv_norm_out.weight", chans[-1])
+    _add(sd, "encoder.conv_norm_out.bias", chans[-1])
+    _add(sd, "encoder.conv_out.weight", 2 * cfg.latent_channels, chans[-1], 3, 3)
+    _add(sd, "encoder.conv_out.bias", 2 * cfg.latent_channels)
+
+    rev = tuple(reversed(chans))
+    _add(sd, "decoder.conv_in.weight", rev[0], cfg.latent_channels, 3, 3)
+    _add(sd, "decoder.conv_in.bias", rev[0])
+    mid("decoder.mid_block", rev[0])
+    prev = rev[0]
+    for b, ch in enumerate(rev):
+        for l in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{b}.resnets.{l}",
+                   prev if l == 0 else ch, ch)
+        prev = ch
+        if b < len(rev) - 1:
+            _add(sd, f"decoder.up_blocks.{b}.upsamplers.0.conv.weight",
+                 ch, ch, 3, 3)
+            _add(sd, f"decoder.up_blocks.{b}.upsamplers.0.conv.bias", ch)
+    _add(sd, "decoder.conv_norm_out.weight", rev[-1])
+    _add(sd, "decoder.conv_norm_out.bias", rev[-1])
+    _add(sd, "decoder.conv_out.weight", 3, rev[-1], 3, 3)
+    _add(sd, "decoder.conv_out.bias", 3)
     return sd
 
 
@@ -53,25 +178,18 @@ def test_pack_unpack_roundtrip():
 
 
 def test_flux_transformer_converter_layout():
-    from followmyhold_tpu.convert.common import to_mutable
-    from followmyhold_tpu.convert.flux import (
-        convert_flux_transformer,
-        flux_transformer_mapping,
-    )
+    from followmyhold_tpu.convert.flux import convert_flux_transformer
 
     cfg = FLUX_TINY_TEST
-    model = FluxTransformer(cfg)
+    sd = _synth_diffusers_transformer(cfg)
     n = 8
-    params = to_mutable(model.init(
-        jax.random.key(0), jnp.zeros((1, n, cfg.in_channels)),
-        jnp.zeros((1, 4, cfg.joint_dim)), jnp.zeros((1, cfg.pooled_dim)),
-        jnp.ones((1,)), jnp.zeros((n, 3)), jnp.zeros((4, 3)), jnp.ones((1,))))
-    rng = np.random.default_rng(1)
-    sd = _synth_from_mapping(flux_transformer_mapping(cfg), params, rng)
-
-    conv, report = convert_flux_transformer(sd, cfg, n_tokens=n)
+    conv, report = convert_flux_transformer(dict(sd), cfg, n_tokens=n)
     assert not report.missing_src, report.missing_src[:8]
     assert not report.unused_src, report.unused_src[:8]
+    leaves = set(_leaf_paths(conv))
+    assert leaves == set(report.mapped), sorted(leaves - set(report.mapped))[:8]
+
+    model = FluxTransformer(cfg)
     out = model.apply(conv, jnp.ones((1, n, cfg.in_channels)),
                       jnp.ones((1, 4, cfg.joint_dim)),
                       jnp.ones((1, cfg.pooled_dim)), jnp.full((1,), 0.5),
@@ -82,19 +200,18 @@ def test_flux_transformer_converter_layout():
 
 
 def test_flux_vae_converter_layout_and_edit():
-    from followmyhold_tpu.convert.common import to_mutable
-    from followmyhold_tpu.convert.flux import convert_flux_vae, flux_vae_mapping
+    from followmyhold_tpu.convert.flux import convert_flux_vae
 
     cfg = FLUX_VAE_TINY
-    vae = FluxVae(cfg)
-    params = to_mutable(vae.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3))))
-    rng = np.random.default_rng(2)
-    sd = _synth_from_mapping(flux_vae_mapping(cfg), params, rng)
-    conv, report = convert_flux_vae(sd, cfg, size=32)
+    sd = _synth_diffusers_vae(cfg)
+    conv, report = convert_flux_vae(dict(sd), cfg, size=32)
     assert not report.missing_src, report.missing_src[:8]
     assert not report.unused_src, report.unused_src[:8]
+    leaves = set(_leaf_paths(conv))
+    assert leaves == set(report.mapped), sorted(leaves - set(report.mapped))[:8]
 
-    img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    vae = FluxVae(cfg)
+    img = jnp.asarray(RNG.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
     tr = FluxTransformer(FLUX_TINY_TEST)
     h2 = 32 // 8 // 2
     nimg = h2 * h2
