@@ -296,6 +296,53 @@ def main() -> None:
 
     _run_section("joint", bench_joint)
 
+    # ------------------------------------------------------------------ #
+    # final 385^3 export: hierarchical decode + host extraction + postprocess
+    # (VERDICT r2 #4: this was ~38 s/image dense and previously unbenched)
+    # ------------------------------------------------------------------ #
+    def bench_export():
+        from followmyhold_tpu.geometry.postprocess import (
+            reduce_faces,
+            remove_degenerate_faces,
+            remove_floaters,
+        )
+        from followmyhold_tpu.models.hunyuan import vae_query_logits_hierarchical
+        from followmyhold_tpu.ops.surface import marching_tets_host
+
+        res = cfg.final_octree_resolution
+
+        def decode():
+            logits, n_sel = vae_query_logits_hierarchical(
+                vae, vae_params, latents, [-1.1] * 3, [1.1] * 3, res,
+                chunk=sampler.vae_chunk)
+            return logits
+
+        # note: random weights give a noise field, so the surface-cell cap
+        # saturates — the measured cost is the cap-limited (= worst-case
+        # real-shape) fine pass, which is what production pays
+        RESULTS["export_decode"] = _timeit(decode, iters=1, warmup=1)
+        print(f"# export {res}^3 hierarchical decode: "
+              f"{RESULTS['export_decode']:.2f} s", file=sys.stderr)
+
+        # host extraction timed on an analytic shape (a real trained field is
+        # a watertight surface; the random-weight noise field would give an
+        # absurd vert count and misrepresent the cost)
+        n = res + 1
+        g = np.linspace(-1.1, 1.1, n, dtype=np.float32)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        sdf = (np.sqrt(X**2 + Y**2 + Z**2) - 0.8).reshape(-1)
+        t0 = time.time()
+        hv, hf = marching_tets_host(sdf, [-1.1] * 3, [1.1] * 3, res)
+        if len(hf):
+            v, f = remove_floaters(hv, hf)
+            v, f = remove_degenerate_faces(v, f)
+            v, f = reduce_faces(v, f)
+        RESULTS["export_extract"] = time.time() - t0
+        print(f"# export host extract+postprocess ({len(hv)} verts): "
+              f"{RESULTS['export_extract']:.2f} s", file=sys.stderr)
+
+    _run_section("export", bench_export)
+
 
 def emit() -> None:
     cfg_steps = dict(n_dit=20, n_hand=200, n_obj=100, n_joint=9 * 50)
@@ -316,29 +363,45 @@ def emit() -> None:
         print(f"# missing sections {missing}; estimate is partial",
               file=sys.stderr)
 
-    est = (
+    guidance = (
         cfg_steps["n_dit"] * (t_dit or 0.0)
         + cfg_steps["n_hand"] * (t_hand or 0.0)
         + cfg_steps["n_obj"] * (t_obj or 0.0)
         + cfg_steps["n_joint"] * (t_joint or 0.0)
     )
+    # full per-image cost (VERDICT r2 #4): guidance loop + its final 385^3
+    # export, plus the Hunyuan HOI-mesh stage (30 CFG steps, geometry/
+    # hunyuan.py:70,89-95, + the same 384^3 export). Preprocess/MoGe/HaMeR
+    # forwards are <1 s/image combined and excluded like the reference's own
+    # accounting.
+    export = RESULTS.get("export_decode", 0.0) + RESULTS.get("export_extract", 0.0)
+    hunyuan_stage = 30 * (t_dit or 0.0) + export
+    est = guidance + export + hunyuan_stage
     print(
-        f"# est = 20*{(t_dit or 0):.3f} + 200*{(t_hand or 0):.3f} "
-        f"+ 100*{(t_obj or 0):.3f} + 450*{(t_joint or 0):.3f}",
+        f"# guidance = 20*{(t_dit or 0):.3f} + 200*{(t_hand or 0):.3f} "
+        f"+ 100*{(t_obj or 0):.3f} + 450*{(t_joint or 0):.3f} "
+        f"= {guidance:.1f} s",
         file=sys.stderr,
     )
+    print(f"# export = {export:.1f} s; hunyuan_stage = 30*dit + export "
+          f"= {hunyuan_stage:.1f} s; total = {est:.1f} s/image",
+          file=sys.stderr)
     if est > 0 and est != float("inf"):
-        print(f"# dp=8 projection (batched guidance, v5e-8): "
-              f"{est / 8:.1f} s/image", file=sys.stderr)
+        print(f"# dp=8 projection (batched guidance, v5e-8; host extract "
+              f"assumed threaded across images): {est / 8:.1f} s/image",
+              file=sys.stderr)
     if est <= 0:
         est = float("inf")
     payload = {
-        "metric": "guidance_sec_per_image_est",
+        "metric": "sec_per_image_est",
         "value": round(float(est), 3) if est != float("inf") else None,
         "unit": "s/image",
         "vs_baseline": round(60.0 / float(est), 3) if est > 0 and est != float("inf") else 0.0,
         "partial": bool(missing),
         "components_ms": {k: round(v * 1e3, 1) for k, v in RESULTS.items()},
+        "breakdown_s": {"guidance": round(guidance, 2),
+                        "export": round(export, 2),
+                        "hunyuan_stage": round(hunyuan_stage, 2)},
     }
     print(json.dumps(payload))
 

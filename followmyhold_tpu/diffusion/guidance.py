@@ -118,6 +118,18 @@ def _transform_hand(targets: GuidanceTargets, p: PoseParams) -> jnp.ndarray:
     return transform_around_center_w_scale(targets.mano_verts_moge, rt, p.scale[0])
 
 
+_SNAPSHOT_STRIDE = 8   # 512^2 -> 64^2 in-loop render snapshots (cheap D2H)
+
+
+def _render_snapshot(n01, disp01):
+    """Downsampled copies of the current renders, collected as scan outputs
+    so every optimizer iteration is inspectable post-hoc (the reference
+    writes render grids every 10 iters inside the loops,
+    pipelines.py:1331-1333,1446-1450)."""
+    s = _SNAPSHOT_STRIDE
+    return {"normal": n01[::s, ::s], "disp": disp01[::s, ::s]}
+
+
 def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
     faces = targets.mano_faces
     fmask = jnp.ones(faces.shape[0])
@@ -283,7 +295,7 @@ class GuidedSampler:
 
         def loss_fn(p: PoseParams):
             verts = _transform_hand(targets, p)
-            losses, _ = _hand_render_losses(
+            losses, (n01, disp01, _) = _hand_render_losses(
                 verts, targets, self.camera, self._hand_raster_kw(), with_sil=True)
             total = (
                 1e-2 * losses["kps2d"]
@@ -292,20 +304,21 @@ class GuidedSampler:
                 + 1.0 * losses["sil"]
                 + 1e-2 * jnp.mean(p.trans ** 2)
             )
-            return jnp.where(jnp.isfinite(total), total, 0.0)
+            return jnp.where(jnp.isfinite(total), total, 0.0), \
+                _render_snapshot(n01, disp01)
 
         opt_state = tx.init(hand)
 
         def body(carry, _):
             p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+            (loss, rend), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return (p, s), loss
+            return (p, s), (loss, rend)
 
-        (hand, _), losses = jax.lax.scan(
+        (hand, _), (losses, renders) = jax.lax.scan(
             body, (hand, opt_state), None, length=cfg.optimization_steps_hand)
-        return hand, losses
+        return hand, losses, renders
 
     # phase 1.5: object transform + noise ------------------------------- #
 
@@ -345,21 +358,22 @@ class GuidedSampler:
                 + 1e-3 * verts_reg_loss(tmesh.verts, tmesh.vert_mask)
                 + 1e-2 * jnp.mean(p["pose"].trans ** 2)
             )
-            return jnp.where(jnp.isfinite(total), total, 0.0)
+            return jnp.where(jnp.isfinite(total), total, 0.0), \
+                _render_snapshot(n01, disp01)
 
         params = {"pose": obj, "noise": noise_pred}
         opt_state = tx.init(params)
 
         def body(carry, _):
             p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+            (loss, rend), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return (p, s), loss
+            return (p, s), (loss, rend)
 
-        (params, _), losses = jax.lax.scan(
+        (params, _), (losses, renders) = jax.lax.scan(
             body, (params, opt_state), None, length=cfg.optimization_steps_scale)
-        return params["pose"], params["noise"], losses
+        return params["pose"], params["noise"], losses, renders
 
     # phase 2: joint ----------------------------------------------------- #
 
@@ -449,21 +463,22 @@ class GuidedSampler:
                 + 1e-3 * jnp.mean(p["obj"].trans ** 2)
                 + 1e-3 * hand_loss
             )
-            return jnp.where(jnp.isfinite(total), total, 0.0)
+            return jnp.where(jnp.isfinite(total), total, 0.0), \
+                _render_snapshot(n01, disp01)
 
         params = {"hand": hand, "obj": obj, "noise": noise_pred}
         opt_state = tx.init(params)
 
         def body(carry, _):
             p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+            (loss, rend), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return (p, s), loss
+            return (p, s), (loss, rend)
 
-        (params, _), losses = jax.lax.scan(
+        (params, _), (losses, renders) = jax.lax.scan(
             body, (params, opt_state), None, length=cfg.optimization_steps_joint)
-        return params["hand"], params["obj"], params["noise"], losses
+        return params["hand"], params["obj"], params["noise"], losses, renders
 
     # main loop ----------------------------------------------------------- #
 
@@ -487,15 +502,21 @@ class GuidedSampler:
 
         hand_phase, obj_phase, joint_phase, advance, dit_step = _jitted_phases(self)
 
-        def log_phase(tag, losses):
+        def log_phase(tag, losses, renders=None):
             loss_log[tag] = losses
             if debug is not None and debug.enabled:
-                # per-10-iter loss lines (reference pipelines.py:1351-1355)
+                # per-10-iter loss lines + render snapshots from INSIDE the
+                # opt scans (reference pipelines.py:1331-1333,1446-1450)
                 arr = np.asarray(losses)
                 for it in range(0, len(arr), 10):
                     debug.log_loss(f"{tag} iter {it}: loss {arr[it]:.6f}")
                 if len(arr):
                     debug.log_loss(f"{tag} final: loss {arr[-1]:.6f}")
+                if renders is not None:
+                    for name, stack in renders.items():
+                        s = np.asarray(stack)
+                        sel = np.arange(0, len(s), 10)
+                        debug.dump_array(f"{tag}_{name}_grid.npy", s[sel])
 
         loss_log: dict = {}
         noise_pred = jnp.zeros_like(latents)
@@ -510,17 +531,17 @@ class GuidedSampler:
                                   g)
 
             if i == cfg.handopt_start_step:
-                hand, hl = hand_phase(hand, targets)
-                log_phase("hand", hl)
+                hand, hl, hrend = hand_phase(hand, targets)
+                log_phase("hand", hl, hrend)
             elif i == cfg.handopt_start_step + 1:
-                obj, noise_pred, ol = obj_phase(
+                obj, noise_pred, ol, orend = obj_phase(
                     obj, noise_pred, latents, vae_params, targets, sched, i)
-                log_phase("obj", ol)
+                log_phase("obj", ol, orend)
             elif i >= cfg.handopt_start_step + 2:
-                hand, obj, noise_pred, jl = joint_phase(
+                hand, obj, noise_pred, jl, jrend = joint_phase(
                     hand, obj, noise_pred, latents, vae_params, targets, sched,
                     i, near_end=bool(i >= n - 3))
-                log_phase(f"joint_{i}", jl)
+                log_phase(f"joint_{i}", jl, jrend)
                 if debug is not None and debug.enabled:
                     self._debug_render_dump(debug, f"step{i:02d}", hand, obj,
                                             noise_pred, latents, vae_params,
@@ -546,11 +567,14 @@ class GuidedSampler:
         keys: jax.Array,            # [B] PRNG keys
         latent_shape: Tuple[int, int],
         mesh=None,                  # jax.sharding.Mesh with a "dp" axis
+        debugs=None,                # Optional[list[DebugDir]], one per image
     ) -> GuidanceResult:
         """Data-parallel batched run: every phase is vmapped over the image
         batch; with a mesh, the batch dim is sharded over dp (replacing the
         reference's SLURM arrays, SURVEY §2d). Weights stay replicated
-        (per-image graphs are independent — no collectives needed)."""
+        (per-image graphs are independent — no collectives needed).
+        debugs gives the batched path the same per-image observability as
+        the serial path (loss lines + in-loop render snapshot grids)."""
         cfg = self.config
         n = cfg.num_inference_steps
         B = cond_main.shape[0]
@@ -575,6 +599,22 @@ class GuidedSampler:
             latents, hand, obj, cond_cat, targets = map(
                 put, (latents, hand, obj, cond_cat, targets))
 
+        def log_phase(tag, losses, renders):
+            loss_log[tag] = losses
+            if not debugs:
+                return
+            arr = np.asarray(losses)                    # [B, iters]
+            for b, dbg in enumerate(debugs):
+                if dbg is None or not dbg.enabled:
+                    continue
+                for it in range(0, arr.shape[1], 10):
+                    dbg.log_loss(f"{tag} iter {it}: loss {arr[b, it]:.6f}")
+                dbg.log_loss(f"{tag} final: loss {arr[b, -1]:.6f}")
+                for name, stack in renders.items():
+                    s = np.asarray(stack[b])
+                    dbg.dump_array(f"{tag}_{name}_grid.npy",
+                                   s[np.arange(0, len(s), 10)])
+
         loss_log: dict = {}
         noise_pred = jnp.zeros_like(latents)
         for i in range(n):
@@ -586,17 +626,17 @@ class GuidedSampler:
                                   sched.timesteps[i] / sched.num_train_timesteps,
                                   g)
             if i == cfg.handopt_start_step:
-                hand, hl = hand_phase(hand, targets)
-                loss_log["hand"] = hl
+                hand, hl, hrend = hand_phase(hand, targets)
+                log_phase("hand", hl, hrend)
             elif i == cfg.handopt_start_step + 1:
-                obj, noise_pred, ol = obj_phase(
+                obj, noise_pred, ol, orend = obj_phase(
                     obj, noise_pred, latents, vae_params, targets, sched, i)
-                loss_log["obj"] = ol
+                log_phase("obj", ol, orend)
             elif i >= cfg.handopt_start_step + 2:
-                hand, obj, noise_pred, jl = joint_phase(
+                hand, obj, noise_pred, jl, jrend = joint_phase(
                     hand, obj, noise_pred, latents, vae_params, targets, sched,
                     i, bool(i >= n - 3))
-                loss_log[f"joint_{i}"] = jl
+                log_phase(f"joint_{i}", jl, jrend)
             latents = advance(sched, i, noise_pred, latents)
 
         return GuidanceResult(latents=latents, noise_pred=noise_pred,
@@ -651,12 +691,12 @@ class GuidedSampler:
         fit static buffers.
         """
         res = octree_resolution or self.config.octree_resolution
-        xyz, _, _ = generate_dense_grid_points([-self.box_v] * 3,
-                                               [self.box_v] * 3, res)
-        logits = vae_query_logits(self.vae, vae_params, result.latents,
-                                  xyz[None], self.vae_chunk)[0]
-        sdf = -logits
         if res <= device_res_limit:
+            xyz, _, _ = generate_dense_grid_points([-self.box_v] * 3,
+                                                   [self.box_v] * 3, res)
+            logits = vae_query_logits(self.vae, vae_params, result.latents,
+                                      xyz[None], self.vae_chunk)[0]
+            sdf = -logits
             mv = max_verts or self.max_verts
             mf = max_faces or self.max_faces
             mesh = marching_tets(
@@ -668,8 +708,19 @@ class GuidedSampler:
         else:
             import numpy as np
 
+            from followmyhold_tpu.models.hunyuan import (
+                vae_query_logits_hierarchical,
+            )
             from followmyhold_tpu.ops.surface import marching_tets_host
 
+            # sparse two-level decode: the dense 385^3 decode is ~38 s/image
+            logits, n_sel = vae_query_logits_hierarchical(
+                self.vae, vae_params, result.latents, [-self.box_v] * 3,
+                [self.box_v] * 3, res, chunk=self.vae_chunk)
+            sdf = -logits
+            if int(n_sel) > 32768:
+                print(f"WARNING: hierarchical decode cell overflow: "
+                      f"{int(n_sel)}/32768 surface cells — raise cell_cap")
             hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
                                         [self.box_v] * 3, res)
             cap_v = max(len(hv), 1)

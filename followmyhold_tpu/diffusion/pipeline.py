@@ -81,15 +81,22 @@ def latents_to_mesh(
     host with exact shapes — 385^3 static edge buffers would not fit HBM.
     On the device path, true pre-truncation counts are checked so capacity
     overruns warn instead of silently emitting degenerate faces."""
-    xyz, grid_size, _ = generate_dense_grid_points(
-        [-box_v] * 3, [box_v] * 3, octree_resolution)
-    logits = vae_query_logits(vae, vae_params, latents, xyz[None], chunk)[0]
-    sdf = -logits
     if octree_resolution > device_res_limit:
         import numpy as np
 
+        from followmyhold_tpu.models.hunyuan import vae_query_logits_hierarchical
         from followmyhold_tpu.ops.surface import marching_tets_host
 
+        # two-level decode: only surface cells are evaluated at full
+        # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x)
+        logits, n_sel = vae_query_logits_hierarchical(
+            vae, vae_params, latents, [-box_v] * 3, [box_v] * 3,
+            octree_resolution, chunk=chunk)
+        sdf = -logits
+        cap = 32768
+        if int(n_sel) > cap:
+            print(f"WARNING: hierarchical decode cell overflow: "
+                  f"{int(n_sel)}/{cap} surface cells — raise cell_cap")
         hv, hf = marching_tets_host(np.asarray(sdf), [-box_v] * 3,
                                     [box_v] * 3, octree_resolution)
         verts = jnp.asarray(hv if len(hv) else np.zeros((1, 3), np.float32))
@@ -98,6 +105,10 @@ def latents_to_mesh(
         ones_f = jnp.ones(faces.shape[0]) * (1.0 if len(hf) else 0.0)
         return PaddedMesh(verts=verts, faces=faces,
                           vert_mask=ones_v, face_mask=ones_f)
+    xyz, grid_size, _ = generate_dense_grid_points(
+        [-box_v] * 3, [box_v] * 3, octree_resolution)
+    logits = vae_query_logits(vae, vae_params, latents, xyz[None], chunk)[0]
+    sdf = -logits
     mesh = marching_tets(
         sdf, jnp.asarray([-box_v] * 3), jnp.asarray([box_v] * 3),
         octree_resolution, max_verts=max_verts, max_faces=max_faces)

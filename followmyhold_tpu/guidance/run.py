@@ -183,6 +183,7 @@ def run_batch_images(image_jobs, config: OptimizationConfig, models,
     per_image = []
     conds = []
     keys = []
+    debugs = []
     for job in image_jobs:
         hand_mask = _load_mask(job["cropped_hand_mask_path"])
         obj_mask = _load_mask(job["cropped_obj_mask_path"])
@@ -197,6 +198,7 @@ def run_batch_images(image_jobs, config: OptimizationConfig, models,
         conds.append(encode_condition(cond, cond_params, rgba))
         image_id = os.path.basename(job["cropped_obj_img_path"]).split("_")[0]
         keys.append(stage_key(SEED_GUIDANCE, "guidance", image_id))
+        debugs.append(DebugDir(f"exp_obj{image_id}_inpainted"))
 
     # one jitted graph: H/W/znear/zfar are static and shared across the batch
     # (same 512^2 crop size); per-image fov rides in targets.fov_deg (traced)
@@ -212,7 +214,7 @@ def run_batch_images(image_jobs, config: OptimizationConfig, models,
     result = sampler.run_batch(dit_params, vae_params, cond_b, uncond_b,
                                targets_b, keys_b,
                                (vae.cfg.num_latents, vae.cfg.embed_dim),
-                               mesh=mesh)
+                               mesh=mesh, debugs=debugs)
 
     for b, job in enumerate(image_jobs):
         res_i = GuidanceResult(
@@ -235,6 +237,8 @@ def run_batch_images(image_jobs, config: OptimizationConfig, models,
         write_ply(job["save_path_obj"], verts, faces)
         write_ply(job["save_path_hand"], np.asarray(hand_verts),
                   np.asarray(tgt_i.mano_faces))
+    for dbg in debugs:
+        dbg.close()
 
 
 def _load_task_list(task_list_file: Optional[str], cropped_obj_img_dir: str) -> List[str]:

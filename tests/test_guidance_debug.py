@@ -86,6 +86,18 @@ def test_run_collects_loss_curves_and_debug_dumps(tmp_path, monkeypatch):
         (tmp_path / "unit" / "step04_normal.npy").exists()
     assert (tmp_path / "unit" / "step05_disp.npy.npy").exists() or \
         (tmp_path / "unit" / "step05_disp.npy").exists()
+    # per-10-iter render snapshot grids from INSIDE the opt scans
+    # (reference pipelines.py:1331-1333,1446-1450)
+    for stem in ("hand_normal_grid", "hand_disp_grid", "obj_normal_grid"):
+        path = tmp_path / "unit" / f"{stem}.npy"
+        if not path.exists():
+            path = tmp_path / "unit" / f"{stem}.npy.npy"
+        assert path.exists(), stem
+    grid = np.load(tmp_path / "unit" / "hand_normal_grid.npy.npy"
+                   if (tmp_path / "unit" / "hand_normal_grid.npy.npy").exists()
+                   else tmp_path / "unit" / "hand_normal_grid.npy")
+    assert grid.shape[0] == 2      # 12 hand iters, stride 10 -> iters 0, 10
+    assert grid.shape[1:] == (8, 8, 3)   # 64^2 render / stride 8
 
 
 def test_run_batch_dp_sharded():
