@@ -306,16 +306,15 @@ def main() -> None:
             remove_degenerate_faces,
             remove_floaters,
         )
-        from followmyhold_tpu.models.hunyuan import vae_query_logits_hierarchical
+        from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
         from followmyhold_tpu.ops.surface import marching_tets_host
 
         res = cfg.final_octree_resolution
+        decode_fn = hierarchical_decode_fn(vae, 1.1, res,
+                                           chunk=sampler.vae_chunk)
 
         def decode():
-            logits, n_sel = vae_query_logits_hierarchical(
-                vae, vae_params, latents, [-1.1] * 3, [1.1] * 3, res,
-                chunk=sampler.vae_chunk)
-            return logits
+            return decode_fn(vae_params, latents)[0]
 
         # note: random weights give a noise field, so the surface-cell cap
         # saturates — the measured cost is the cap-limited (= worst-case

@@ -708,15 +708,13 @@ class GuidedSampler:
         else:
             import numpy as np
 
-            from followmyhold_tpu.models.hunyuan import (
-                vae_query_logits_hierarchical,
-            )
+            from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
             from followmyhold_tpu.ops.surface import marching_tets_host
 
             # sparse two-level decode: the dense 385^3 decode is ~38 s/image
-            logits, n_sel = vae_query_logits_hierarchical(
-                self.vae, vae_params, result.latents, [-self.box_v] * 3,
-                [self.box_v] * 3, res, chunk=self.vae_chunk)
+            logits, n_sel = hierarchical_decode_fn(
+                self.vae, self.box_v, res, chunk=self.vae_chunk)(
+                    vae_params, result.latents)
             sdf = -logits
             if int(n_sel) > 32768:
                 print(f"WARNING: hierarchical decode cell overflow: "

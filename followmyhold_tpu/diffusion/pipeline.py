@@ -84,14 +84,13 @@ def latents_to_mesh(
     if octree_resolution > device_res_limit:
         import numpy as np
 
-        from followmyhold_tpu.models.hunyuan import vae_query_logits_hierarchical
+        from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
         from followmyhold_tpu.ops.surface import marching_tets_host
 
         # two-level decode: only surface cells are evaluated at full
         # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x)
-        logits, n_sel = vae_query_logits_hierarchical(
-            vae, vae_params, latents, [-box_v] * 3, [box_v] * 3,
-            octree_resolution, chunk=chunk)
+        logits, n_sel = hierarchical_decode_fn(
+            vae, box_v, octree_resolution, chunk=chunk)(vae_params, latents)
         sdf = -logits
         cap = 32768
         if int(n_sel) > cap:

@@ -479,6 +479,28 @@ def vae_query_logits(
     return logits[:, :N]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def hierarchical_decode_fn(vae: ShapeVAE, box_v: float, resolution: int,
+                           chunk: int = 8192, coarse_factor: int = 4,
+                           cell_cap: int = 32768, pad_factor: float = 1.5):
+    """ONE jitted (params, latents) -> (logits, n_selected) program for the
+    two-level export decode. Eager execution dispatches each chunk as its own
+    RPC over a remote-TPU tunnel (~3 ms each x ~600 chunks dominated the
+    decode); a single jit amortizes dispatch entirely."""
+    def f(params, latents):
+        return vae_query_logits_hierarchical(
+            vae, params, latents, [-box_v] * 3, [box_v] * 3, resolution,
+            chunk=chunk, coarse_factor=coarse_factor, cell_cap=cell_cap,
+            pad_factor=pad_factor)
+
+    import jax
+
+    return jax.jit(f)
+
+
 def vae_query_logits_hierarchical(
     vae: ShapeVAE,
     params,

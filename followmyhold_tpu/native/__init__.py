@@ -56,6 +56,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.decimate_grid.argtypes = [ctypes.c_int32, ctypes.c_int32, f32p, i32p,
                                   ctypes.c_float, ctypes.c_float, ctypes.c_float,
                                   ctypes.c_float, f32p, i32p, i32p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.marching_tets_cells.restype = ctypes.c_int32
+    lib.marching_tets_cells.argtypes = [
+        ctypes.c_int32, f32p, ctypes.c_int64, i32p, i32p, i32p, i32p,
+        ctypes.c_int32, i32p, i32p, i32p, f64p, f64p, f32p, i32p, i64p,
+        ctypes.c_int64, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -88,6 +95,51 @@ def compact_mesh(verts: np.ndarray, faces: np.ndarray,
                           keep8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                           _i32(out_faces), _i32(remap))
     return verts[keep.astype(bool)], out_faces[:nf].copy()
+
+
+def marching_tets_cells(s3: np.ndarray, cells: np.ndarray, tets: np.ndarray,
+                        tri_table: np.ndarray, edge_corners: np.ndarray,
+                        corners: np.ndarray, dirs: np.ndarray,
+                        bit2dir: np.ndarray, bbox_min: np.ndarray,
+                        step: np.ndarray
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Per-cell marching-tets geometry emission (the numpy hot loop of
+    ops/surface.marching_tets_host). Returns (verts, faces) or None when the
+    native lib is unavailable; topology tables come from the caller so
+    Python stays the single source of truth."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s3 = np.ascontiguousarray(s3, np.float32)
+    cells = np.ascontiguousarray(cells, np.int32)
+    max_f = max(int(len(cells)) * 12, 1)
+    # a cell touches <= 19 distinct edges (12 cube + 6 face diag + 1 body)
+    max_v = max(int(len(cells)) * 19, 1)
+    out_verts = np.empty((max_v, 3), np.float32)
+    out_faces = np.empty((max_f, 3), np.int32)
+    counts = np.zeros(2, np.int64)
+    rc = lib.marching_tets_cells(
+        s3.shape[0], s3.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(cells), _i32(cells),
+        _i32(np.ascontiguousarray(tets, np.int32)),
+        _i32(np.ascontiguousarray(tri_table, np.int32)),
+        _i32(np.ascontiguousarray(edge_corners, np.int32)),
+        int(edge_corners.shape[1]),
+        _i32(np.ascontiguousarray(corners, np.int32)),
+        _i32(np.ascontiguousarray(dirs, np.int32)),
+        _i32(np.ascontiguousarray(bit2dir, np.int32)),
+        np.ascontiguousarray(bbox_min, np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double)),
+        np.ascontiguousarray(step, np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double)),
+        out_verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _i32(out_faces),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_v, max_f)
+    if rc != 0:
+        return None                    # capacity bug — numpy path recovers
+    return (out_verts[: int(counts[0])].copy(),
+            out_faces[: int(counts[1])].copy())
 
 
 def decimate_grid(verts: np.ndarray, faces: np.ndarray,

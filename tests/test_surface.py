@@ -158,3 +158,30 @@ def test_postprocess_drops_out_of_range_faces():
     faces = np.asarray([[0, 1, 2], [0, 1, 9999]], np.int32)
     v, f = remove_floaters(verts, faces)
     assert len(f) == 1 and f.max() < len(v)
+
+
+def test_marching_tets_host_native_matches_numpy(monkeypatch):
+    """The C++ emission path must produce the same geometry as the numpy
+    path (vertex/face sets; ordering may differ)."""
+    import followmyhold_tpu.native as native
+    from followmyhold_tpu.ops import surface
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    sdf, _ = sphere_sdf()
+    s = np.asarray(sdf)
+    nv, nf = marching_tets_host(s, [-BOUND] * 3, [BOUND] * 3, RES)
+    monkeypatch.setattr(native, "marching_tets_cells",
+                        lambda *a, **k: None)
+    pv, pf = marching_tets_host(s, [-BOUND] * 3, [BOUND] * 3, RES)
+    assert nv.shape == pv.shape and nf.shape == pf.shape
+    d = np.linalg.norm(nv[:, None] - pv[None], axis=-1)
+    assert d.min(axis=1).max() < 1e-5
+    # same triangles as vertex-coordinate sets
+    def canon(v, f):
+        tri = np.sort(np.round(v[f] * 1e5).astype(np.int64).reshape(len(f), 9),
+                      axis=1)
+        return set(map(tuple, tri))
+    assert canon(nv, nf) == canon(pv, pf)
