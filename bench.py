@@ -306,7 +306,10 @@ def main() -> None:
             remove_degenerate_faces,
             remove_floaters,
         )
-        from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
+        from followmyhold_tpu.models.hunyuan import (
+            compose_hierarchical_grid,
+            hierarchical_decode_fn,
+        )
         from followmyhold_tpu.ops.surface import marching_tets_host
 
         res = cfg.final_octree_resolution
@@ -314,7 +317,11 @@ def main() -> None:
                                            chunk=sampler.vae_chunk)
 
         def decode():
-            return decode_fn(vae_params, latents)[0]
+            g_c, cell_ids, fine, _ = decode_fn(vae_params, latents)
+            # the D2H transfer + host compose are part of the real cost
+            return compose_hierarchical_grid(np.asarray(g_c),
+                                             np.asarray(cell_ids),
+                                             np.asarray(fine), res)
 
         # note: random weights give a noise field, so the surface-cell cap
         # saturates — the measured cost is the cap-limited (= worst-case

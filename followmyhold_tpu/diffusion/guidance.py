@@ -708,14 +708,17 @@ class GuidedSampler:
         else:
             import numpy as np
 
-            from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
+            from followmyhold_tpu.models.hunyuan import (
+                compose_hierarchical_grid,
+                hierarchical_decode_fn,
+            )
             from followmyhold_tpu.ops.surface import marching_tets_host
 
             # sparse two-level decode: the dense 385^3 decode is ~38 s/image
-            logits, n_sel = hierarchical_decode_fn(
+            g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
                 self.vae, self.box_v, res, chunk=self.vae_chunk)(
                     vae_params, result.latents)
-            sdf = -logits
+            sdf = -compose_hierarchical_grid(g_c, cell_ids, fine, res)
             if int(n_sel) > 32768:
                 print(f"WARNING: hierarchical decode cell overflow: "
                       f"{int(n_sel)}/32768 surface cells — raise cell_cap")

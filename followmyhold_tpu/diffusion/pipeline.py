@@ -84,14 +84,18 @@ def latents_to_mesh(
     if octree_resolution > device_res_limit:
         import numpy as np
 
-        from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
+        from followmyhold_tpu.models.hunyuan import (
+            compose_hierarchical_grid,
+            hierarchical_decode_fn,
+        )
         from followmyhold_tpu.ops.surface import marching_tets_host
 
         # two-level decode: only surface cells are evaluated at full
         # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x)
-        logits, n_sel = hierarchical_decode_fn(
+        g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
             vae, box_v, octree_resolution, chunk=chunk)(vae_params, latents)
-        sdf = -logits
+        sdf = -compose_hierarchical_grid(g_c, cell_ids, fine,
+                                         octree_resolution)
         cap = 32768
         if int(n_sel) > cap:
             print(f"WARNING: hierarchical decode cell overflow: "

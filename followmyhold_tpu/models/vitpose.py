@@ -29,9 +29,12 @@ RIGHT_HAND_SLICE = slice(112, 133)
 
 @dataclasses.dataclass(frozen=True)
 class ViTPoseConfig:
+    # ViTPose's ViT is the same ViTPose-style variant HaMeR vendors: 2px
+    # patch-embed padding + a cls SLOT in pos_embed added as a bias
+    # (hamer/models/backbones/vit.py:168,327)
     backbone: ViTConfig = ViTConfig(
         img_size=(256, 192), patch_size=16, embed_dim=1280, depth=32,
-        num_heads=16)
+        num_heads=16, patch_padding=2, pos_embed_cls_slot=True)
     num_keypoints: int = NUM_WHOLEBODY_KPS
     deconv_channels: int = 256
     num_deconv: int = 2
@@ -40,7 +43,8 @@ class ViTPoseConfig:
 
 VITPOSE_TINY = ViTPoseConfig(
     backbone=ViTConfig(img_size=(64, 48), patch_size=16, embed_dim=32,
-                       depth=1, num_heads=2, dtype=jnp.float32),
+                       depth=1, num_heads=2, patch_padding=2,
+                       pos_embed_cls_slot=True, dtype=jnp.float32),
     deconv_channels=16, dtype=jnp.float32)
 
 
@@ -58,8 +62,13 @@ class ViTPose(nn.Module):
         for i in range(c.num_deconv):
             x = nn.ConvTranspose(c.deconv_channels, (4, 4), strides=(2, 2),
                                  dtype=c.dtype, name=f"deconv{i}")(x)
-            x = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32,
-                                     name=f"bn{i}")(x)).astype(c.dtype)
+            # inference BatchNorm == per-channel affine; the converter folds
+            # the checkpoint's BN (gamma, beta, running stats) into these
+            scale = self.param(f"bn{i}_scale", nn.initializers.ones,
+                               (c.deconv_channels,), jnp.float32)
+            bias = self.param(f"bn{i}_bias", nn.initializers.zeros,
+                              (c.deconv_channels,), jnp.float32)
+            x = nn.relu(x.astype(jnp.float32) * scale + bias).astype(c.dtype)
         return nn.Conv(c.num_keypoints, (1, 1), dtype=jnp.float32,
                        name="final")(x.astype(jnp.float32))
 

@@ -16,9 +16,17 @@ import numpy as np
 from followmyhold_tpu.models.hunyuan import (
     VAE_TINY,
     ShapeVAE,
+    compose_hierarchical_grid,
     vae_query_logits,
     vae_query_logits_hierarchical,
 )
+
+
+def _hier_dense(vae, params, lat, res, chunk, cell_cap):
+    g_c, cell_ids, fine, n_sel = vae_query_logits_hierarchical(
+        vae, params, lat, [-BOX] * 3, [BOX] * 3, res, chunk=chunk,
+        cell_cap=cell_cap)
+    return compose_hierarchical_grid(g_c, cell_ids, fine, res), n_sel
 from followmyhold_tpu.ops.grid import generate_dense_grid_points
 from followmyhold_tpu.ops.surface import marching_tets_host
 
@@ -57,9 +65,7 @@ def test_hierarchical_exact_on_lipschitz_field():
     xyz, _, _ = generate_dense_grid_points([-BOX] * 3, [BOX] * 3, RES)
     dense = np.asarray(
         vae_query_logits(vae, None, lat, jnp.asarray(xyz)[None], 4096)[0])
-    hier, n_sel = vae_query_logits_hierarchical(
-        vae, None, lat, [-BOX] * 3, [BOX] * 3, RES, chunk=4096, cell_cap=4096)
-    hier = np.asarray(hier)
+    hier, n_sel = _hier_dense(vae, None, lat, RES, 4096, 4096)
     assert 0 < int(n_sel) <= 4096
 
     hv, hf = marching_tets_host(-dense, [-BOX] * 3, [BOX] * 3, RES)
@@ -81,10 +87,7 @@ def test_selected_cells_exact_on_noise_field():
     xyz, _, _ = generate_dense_grid_points([-BOX] * 3, [BOX] * 3, RES)
     dense = np.asarray(
         vae_query_logits(vae, params, lat, jnp.asarray(xyz)[None], 2048)[0])
-    hier, n_sel = vae_query_logits_hierarchical(
-        vae, params, lat, [-BOX] * 3, [BOX] * 3, RES, chunk=2048,
-        cell_cap=8192)
-    hier = np.asarray(hier)
+    hier, n_sel = _hier_dense(vae, params, lat, RES, 2048, 8192)
     agree = np.mean(np.sign(hier) == np.sign(dense))
     assert agree > 0.99, agree
 
@@ -92,7 +95,6 @@ def test_selected_cells_exact_on_noise_field():
 def test_hierarchical_overflow_degrades_not_crashes():
     vae = AnalyticVae(lambda q: jnp.sin(10 * q).sum(-1) * 0.2)  # many cells
     lat = jnp.zeros((1, 4, 4))
-    hier, n_sel = vae_query_logits_hierarchical(
-        vae, None, lat, [-BOX] * 3, [BOX] * 3, RES, chunk=4096, cell_cap=8)
+    hier, n_sel = _hier_dense(vae, None, lat, RES, 4096, 8)
     assert np.isfinite(np.asarray(hier)).all()
     assert int(n_sel) > 8   # the cap was exceeded; values still usable
