@@ -132,43 +132,33 @@ def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
 
 
 # --------------------------------------------------------------------------- #
-# backward kernels: classic two-pass flash backward. Probabilities are
-# recomputed from the forward logsumexp: p = exp(s*scale - L). No [N,M]
-# matrix ever leaves VMEM.
+# backward kernel: FUSED single-pass flash backward. Probabilities are
+# recomputed from the forward logsumexp: p = exp(s*scale - L). One kernel
+# walks kv blocks (grid), emits dk/dv per block, and accumulates dq into a
+# f32 output whose index map ignores the kv-grid dim — the block stays
+# resident in VMEM across the kv sweep (standard Pallas revisited-output
+# accumulation). vs the classic two-pass backward this computes s and
+# p = exp(...) ONCE instead of twice: the [bq,bk] exp is the VPU-bound part
+# of the backward, and fusing measured 1.3x on the geo-decoder hot shape
+# ([1,16,8192,64] x 3072 kv: bwd 4.55 -> 3.49 ms, tools/exp_attn_bwd.py).
+# No [N,M] matrix ever leaves VMEM.
 # --------------------------------------------------------------------------- #
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
-                         dq_ref, *, kv_len: int, kv_pad: int, block_k: int,
-                         scale: float):
-    q = q_ref[0]                                      # [bq, D] storage dtype
-    do = do_ref[0]
-    lse = lse_ref[0, 0][:, None]                      # [bq, 1]
-    dsum = dsum_ref[0, 0][:, None]                    # [bq, 1] rowsum(do*o)
-
-    acc = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
-
-    def body(i, acc):
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dsum)
-        return acc + jnp.dot(ds.astype(k_blk.dtype), k_blk,
-                             preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(0, kv_pad // block_k, body, acc)
-    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
-
-
-def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
-                          dk_ref, dv_ref, *, q_pad: int, block_q: int,
-                          scale: float):
-    # padded q rows carry do=0 and dsum=0, so they contribute nothing — no
-    # row mask needed (analysis: p finite, ds = p*(0-0) = 0, p^T @ 0 = 0)
+def _flash_bwd_fused_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
+                            dk_ref, dv_ref, dq_ref, *, kv_len: int,
+                            block_k: int, q_pad: int, block_q: int,
+                            scale: float):
+    # padded q rows carry do=0 and dsum=0, so they contribute nothing to
+    # dk/dv (p finite, ds = p*(0-0) = 0, p^T @ 0 = 0) and their dq rows are
+    # sliced off by the caller. Padded kv columns DO need masking: they feed
+    # the dq accumulation.
+    j = pl.program_id(1)
     k_blk = k_ref[0]                                  # [bk, D] storage dtype
     v_blk = v_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
     dk = jnp.zeros(k_blk.shape, jnp.float32)
     dv = jnp.zeros(v_blk.shape, jnp.float32)
@@ -180,13 +170,17 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         dsum = dsum_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)                          # [bq, bk]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)  # [bq, bk]
         dv = dv + jnp.dot(p.T.astype(do.dtype), do,
                           preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
         ds = p * (dp - dsum)
         dk = dk + jnp.dot(ds.T.astype(q.dtype), q,
                           preferred_element_type=jnp.float32)
+        dq_blk = jnp.dot(ds.astype(k_blk.dtype), k_blk,
+                         preferred_element_type=jnp.float32) * scale
+        dq_ref[0, pl.ds(i * block_q, block_q), :] += dq_blk
         return dk, dv
 
     dk, dv = jax.lax.fori_loop(0, q_pad // block_q, body, (dk, dv))
@@ -196,7 +190,14 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
 
 def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
                            block_q=256, block_k=256):
-    """Inputs pre-padded: q/do/lse/dsum to Np, k/v to Mp."""
+    """Inputs pre-padded: q/do/lse/dsum to Np, k/v to Mp (multiples of the
+    forward's block sizes, which the smaller backward blocks always divide).
+
+    The fused kernel keeps full q/do plus the f32 dq accumulator resident in
+    VMEM, which busts Mosaic's default 16 MB scoped-vmem budget at the
+    geo-decoder shapes (17.5 MB -> compile-time OOM). v5e/v5p cores have
+    128 MB of VMEM; raise the kernel's budget instead of shrinking blocks
+    (smaller blocks cost inner-loop iterations at identical FLOPs)."""
     B, H, N, D = q.shape
     M = k.shape[2]
     block_q = min(block_q, N)
@@ -209,31 +210,9 @@ def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
     lser = lse.reshape(B * H, 1, N)
     dsr = dsum.reshape(B * H, 1, N)
 
-    dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, kv_len=kv_len, kv_pad=M,
-                          block_k=block_k, scale=scale),
-        grid=(B * H, N // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, D), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
-    )(qr, kr, vr, dor, lser, dsr)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, q_pad=N, block_q=block_q,
+    dk, dv, dq = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, kv_len=kv_len,
+                          block_k=block_k, q_pad=N, block_q=block_q,
                           scale=scale),
         grid=(B * H, M // block_k),
         in_specs=[
@@ -255,11 +234,18 @@ def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
+            # index map ignores j: the dq block is revisited (and kept in
+            # VMEM) across the whole kv sweep for one b, then flushed
+            pl.BlockSpec((1, N, D), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, M, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, M, D), v.dtype),
+            jax.ShapeDtypeStruct((B * H, N, D), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(kr, vr, qr, dor, lser, dsr)
 
     return (dq.reshape(B, H, N, D), dk.reshape(B, H, M, D),
