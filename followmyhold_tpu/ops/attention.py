@@ -310,14 +310,16 @@ def multi_head_attention(
 
 def _block_sizes(N: int, M: int) -> Tuple[int, int]:
     """(block_q, block_k) for the sequence lengths, chosen from a TPU sweep:
-    512-row query blocks + 1024-row kv blocks cut the geo-decoder's
-    [16,8192]x[16,3072] backward from 7.2 ms (256/256) to ~4 ms, and the
-    full 65^3 grid-decode gradient from 495 ms to 290 ms. A single 3072-wide
-    kv block was fastest standalone (3.6 ms) but crashes the TPU compiler
-    inside the full chunked-decode graph, so the cap stays at 1024."""
+    512-row query blocks; kv in ONE block when the whole (padded) kv set is
+    <= 3072 rows — the geo-decoder's exact shape — which drops the online
+    rescale iterations entirely (65^3 grid decode fwd 232 -> 179 ms, grad
+    435 -> 405 ms). This config crashed the remote-TPU compiler when the
+    backward was two pallas_calls; the fused single-call backward fits.
+    Longer kv (DiT's ~4.6k tokens) blocks at 1024: padding to a 3072
+    multiple would waste 37% of the sweep on a masked tail."""
     bq = 512 if N >= 512 else 256
     Mp = ((M + 255) // 256) * 256
-    bk = Mp if Mp <= 1024 else 1024
+    bk = Mp if Mp <= 3072 else 1024
     return bq, bk
 
 
