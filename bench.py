@@ -214,28 +214,39 @@ def main() -> None:
         lo = jnp.asarray([-1.1] * 3)
         hi = jnp.asarray([1.1] * 3)
 
-        @jax.jit
-        def mt_fwd(s):
+        # in-graph (scan-amortized x8) costs: a single dispatched call pays
+        # ~25 ms of tunnel dispatch+sync that the real optimizer loops never
+        # see — scan inside ONE jit measures what an iteration actually pays.
+        def _mt(s):
             return marching_tets(s, lo, hi, res, max_verts=sampler.max_verts,
                                  max_faces=sampler.max_faces)
 
-        RESULTS["mtets_fwd"] = _timeit(mt_fwd, sdf0, iters=3)
+        def _consume(m):
+            tri = m.verts[m.faces]
+            return (jnp.sum(tri * m.face_mask[:, None, None])
+                    + jnp.sum(m.verts * m.vert_mask[:, None]))
+
+        @jax.jit
+        def mt_fwd8(s):
+            def step(c, _):
+                return c + _consume(_mt(c)) * 1e-12, ()
+            return jax.lax.scan(step, s, None, length=8)[0]
+
+        RESULTS["mtets_fwd"] = _timeit(mt_fwd8, sdf0, iters=3) / 8
         print(f"# marching tets fwd: {RESULTS['mtets_fwd']*1e3:.1f} ms",
               file=sys.stderr)
 
         @jax.jit
-        def mt_grad(s):
-            def f(s):
-                m = marching_tets(s, lo, hi, res, max_verts=sampler.max_verts,
-                                  max_faces=sampler.max_faces)
-                return jnp.sum(m.verts * m.vert_mask[:, None])
-            return jax.grad(f)(s)
+        def mt_grad8(s):
+            def step(c, _):
+                return c + jax.grad(lambda x: _consume(_mt(x)))(c) * 1e-12, ()
+            return jax.lax.scan(step, s, None, length=8)[0]
 
-        RESULTS["mtets_grad"] = _timeit(mt_grad, sdf0, iters=3)
-        print(f"# marching tets grad: {RESULTS['mtets_grad']*1e3:.1f} ms",
+        RESULTS["mtets_grad"] = _timeit(mt_grad8, sdf0, iters=3) / 8
+        print(f"# marching tets fwd+grad: {RESULTS['mtets_grad']*1e3:.1f} ms",
               file=sys.stderr)
 
-        mesh0 = jax.jit(mt_fwd)(sdf0)
+        mesh0 = jax.jit(_mt)(sdf0)
         nfaces = int(np.asarray(mesh0.face_mask).sum())
         print(f"# bench mesh: {int(np.asarray(mesh0.vert_mask).sum())} verts, "
               f"{nfaces} faces", file=sys.stderr)
@@ -249,14 +260,24 @@ def main() -> None:
                 faces_per_tile=sampler.raster_faces_per_tile)
             return jnp.sum(n01) + jnp.sum(disp01) + jnp.sum(out.alpha)
 
-        raster_fwd = jax.jit(raster_loss)
-        RESULTS["raster_fwd"] = _timeit(raster_fwd, mesh0.verts, iters=3)
+        @jax.jit
+        def raster_fwd8(verts):
+            def step(c, _):
+                return c + raster_loss(c) * 1e-12 * jnp.ones(3), ()
+            return jax.lax.scan(step, verts, None, length=8)[0]
+
+        RESULTS["raster_fwd"] = _timeit(raster_fwd8, mesh0.verts, iters=3) / 8
         print(f"# raster 512^2 fwd: {RESULTS['raster_fwd']*1e3:.1f} ms",
               file=sys.stderr)
 
-        raster_grad = jax.jit(jax.grad(raster_loss))
-        RESULTS["raster_grad"] = _timeit(raster_grad, mesh0.verts, iters=3)
-        print(f"# raster 512^2 grad: {RESULTS['raster_grad']*1e3:.1f} ms",
+        @jax.jit
+        def raster_grad8(verts):
+            def step(c, _):
+                return c + jax.grad(raster_loss)(c) * 1e-12, ()
+            return jax.lax.scan(step, verts, None, length=8)[0]
+
+        RESULTS["raster_grad"] = _timeit(raster_grad8, mesh0.verts, iters=3) / 8
+        print(f"# raster 512^2 fwd+grad: {RESULTS['raster_grad']*1e3:.1f} ms",
               file=sys.stderr)
 
     _run_section("breakdown", bench_breakdown)
@@ -266,33 +287,56 @@ def main() -> None:
     # ------------------------------------------------------------------ #
     import dataclasses
 
-    one_iter_cfg = dataclasses.replace(
-        cfg, optimization_steps_hand=1, optimization_steps_scale=1,
-        optimization_steps_joint=1)
-    s1 = dataclasses.replace(sampler, config=one_iter_cfg)
+    # Each phase is timed at TWO scan lengths; the slope is the true
+    # per-iteration cost and the intercept the per-invocation fixed cost
+    # (phase setup + dispatch/sync over the tunnel). Production invokes
+    # hand/obj once and joint 9x, so multiplying a 1-iter call (fixed
+    # included) by the 200/100/450 totals overstated guidance by ~10%.
+    def _phase_pair(n_steps):
+        c = dataclasses.replace(
+            cfg, optimization_steps_hand=n_steps,
+            optimization_steps_scale=n_steps, optimization_steps_joint=n_steps)
+        return dataclasses.replace(sampler, config=c)
+
+    s1 = _phase_pair(1)
+    s5 = _phase_pair(5)
+
+    def _marginal(name, t1, t5, k=5):
+        m = max((t5 - t1) / (k - 1), 0.0)
+        RESULTS[name] = m
+        RESULTS[name + "_fixed"] = max(t1 - m, 0.0)
+        print(f"# {name}-opt iter: {m*1e3:.1f} ms "
+              f"(+{RESULTS[name + '_fixed']*1e3:.0f} ms/invocation fixed)",
+              file=sys.stderr)
 
     def bench_hand():
-        hand_phase = jax.jit(s1._hand_phase)
-        RESULTS["hand"] = _timeit(hand_phase, init_pose(), targets)
-        print(f"# hand-opt iter: {RESULTS['hand']*1e3:.1f} ms", file=sys.stderr)
+        t1 = _timeit(jax.jit(s1._hand_phase), init_pose(), targets)
+        t5 = _timeit(jax.jit(s5._hand_phase), init_pose(), targets)
+        _marginal("hand", t1, t5)
 
     _run_section("hand", bench_hand)
 
     def bench_obj():
-        obj_phase = jax.jit(lambda o, n, lat, vp, tg: s1._obj_phase(
-            o, n, lat, vp, tg, sched, 10))
-        RESULTS["obj"] = _timeit(obj_phase, init_pose(), noise, latents,
-                                 vae_params, targets, iters=2)
-        print(f"# obj-opt iter: {RESULTS['obj']*1e3:.1f} ms", file=sys.stderr)
+        def phase(s):
+            return jax.jit(lambda o, n, lat, vp, tg: s._obj_phase(
+                o, n, lat, vp, tg, sched, 10))
+        t1 = _timeit(phase(s1), init_pose(), noise, latents, vae_params,
+                     targets, iters=2)
+        t5 = _timeit(phase(s5), init_pose(), noise, latents, vae_params,
+                     targets, iters=2)
+        _marginal("obj", t1, t5)
 
     _run_section("obj", bench_obj)
 
     def bench_joint():
-        joint_phase = jax.jit(lambda h, o, n, lat, vp, tg: s1._joint_phase(
-            h, o, n, lat, vp, tg, sched, 12, near_end=False))
-        RESULTS["joint"] = _timeit(joint_phase, init_pose(), init_pose(), noise,
-                                   latents, vae_params, targets, iters=2)
-        print(f"# joint-opt iter: {RESULTS['joint']*1e3:.1f} ms", file=sys.stderr)
+        def phase(s):
+            return jax.jit(lambda h, o, n, lat, vp, tg: s._joint_phase(
+                h, o, n, lat, vp, tg, sched, 12, near_end=False))
+        t1 = _timeit(phase(s1), init_pose(), init_pose(), noise, latents,
+                     vae_params, targets, iters=2)
+        t5 = _timeit(phase(s5), init_pose(), init_pose(), noise, latents,
+                     vae_params, targets, iters=2)
+        _marginal("joint", t1, t5)
 
     _run_section("joint", bench_joint)
 
@@ -369,11 +413,16 @@ def emit() -> None:
         print(f"# missing sections {missing}; estimate is partial",
               file=sys.stderr)
 
+    # per-invocation fixed costs: hand and obj phases run once, joint 9x
+    # (guidance.py run(): i == start / start+1 / start+2..19)
+    fixed = (RESULTS.get("hand_fixed", 0.0) + RESULTS.get("obj_fixed", 0.0)
+             + 9 * RESULTS.get("joint_fixed", 0.0))
     guidance = (
         cfg_steps["n_dit"] * (t_dit or 0.0)
         + cfg_steps["n_hand"] * (t_hand or 0.0)
         + cfg_steps["n_obj"] * (t_obj or 0.0)
         + cfg_steps["n_joint"] * (t_joint or 0.0)
+        + fixed
     )
     # full per-image cost (VERDICT r2 #4): guidance loop + its final 385^3
     # export, plus the Hunyuan HOI-mesh stage (30 CFG steps, geometry/
@@ -386,7 +435,7 @@ def emit() -> None:
     print(
         f"# guidance = 20*{(t_dit or 0):.3f} + 200*{(t_hand or 0):.3f} "
         f"+ 100*{(t_obj or 0):.3f} + 450*{(t_joint or 0):.3f} "
-        f"= {guidance:.1f} s",
+        f"+ fixed {fixed:.1f} = {guidance:.1f} s",
         file=sys.stderr,
     )
     print(f"# export = {export:.1f} s; hunyuan_stage = 30*dit + export "

@@ -318,16 +318,22 @@ def marching_tets(
     # slot with max_verts-1 (dangling face ids after host truncation) —
     # route pad rows to an out-of-bounds index instead, which JAX scatter
     # drops.
-    n_keys = n * n * n * 7
-    pad_row = vert_mask <= 0
-    scatter_ids = jnp.where(pad_row, n_keys, edge_ids)
-    slot_of_key = jnp.zeros(n_keys, jnp.int32)
-    slot_of_key = slot_of_key.at[scatter_ids].set(
-        jnp.arange(max_verts, dtype=jnp.int32), mode="drop")
-
     # vertex positions from edge interpolation
     vid = edge_ids // 7
     dcode = edge_ids % 7
+
+    # The slot table is stored DIR-MAJOR ([7,n,n,n] instead of [n,n,n,7]):
+    # the 19 channel slices below then carry the grid's z axis in the lane
+    # dim (64 of 128 lanes) instead of the 7 direction codes (7 of 128 —
+    # 121 wasted lanes per tile). Vertex/slot numbering is unchanged; only
+    # the scatter target layout differs.
+    n_keys = n * n * n * 7
+    pad_row = vert_mask <= 0
+    dm_ids = dcode * (n * n * n) + vid
+    scatter_ids = jnp.where(pad_row, n_keys, dm_ids)
+    slot_of_key = jnp.zeros(n_keys, jnp.int32)
+    slot_of_key = slot_of_key.at[scatter_ids].set(
+        jnp.arange(max_verts, dtype=jnp.int32), mode="drop")
     gi = vid // (n * n)
     gj = (vid // n) % n
     gk = vid % n
@@ -362,9 +368,9 @@ def marching_tets(
     # matmuls below are 0/1-weighted sums of single entries, so the whole
     # path is exact. Replaces slot_of_key[key] random gathers (1.57M HBM
     # accesses, ~120 ms of the 65^3 forward) with MXU matmuls.
-    slot3 = slot_of_key.reshape(n, n, n, 7)
+    slot3 = slot_of_key.reshape(7, n, n, n)                   # dir-major
     e_t = jnp.stack(
-        [slot3[ox:ox + r, oy:oy + r, oz:oz + r, d].reshape(-1)
+        [slot3[d, ox:ox + r, oy:oy + r, oz:oz + r].reshape(-1)
          for (ox, oy, oz, d) in _SLOT_CHANNELS], axis=-1
     ).astype(jnp.float32)                                     # [C, U]
     sel = jnp.asarray(_SLOT_SEL)                              # [6,6,16,U]
