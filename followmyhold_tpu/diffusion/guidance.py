@@ -430,8 +430,12 @@ class GuidedSampler:
             d2 = jnp.where(has_obj, jnp.minimum(d2, 1e6), 0.0)
             distance_loss = attraction_loss(d2, margin=0.01)
 
-            # intersection (gradient-free count, parity with :1551-1564)
-            if cfg.use_intersection_loss:
+            # intersection (gradient-free count, parity with :1551-1564).
+            # near_end is STATIC and gates the weight to 1e-9 when False
+            # (below), making the term numerically irrelevant (count/1000 *
+            # 1e-9 ~ 3e-8 of a ~1e2 loss) in 6 of 9 joint invocations — so
+            # the 32^3-point winding number is only computed near the end.
+            if cfg.use_intersection_loss and near_end:
                 inter = _intersection_count(
                     jax.lax.stop_gradient(hand_verts), targets.mano_faces,
                     jax.tree_util.tree_map(jax.lax.stop_gradient, mesh),
@@ -769,14 +773,15 @@ def _jitted_batch_phases(sampler: "GuidedSampler"):
     obj_phase = jax.jit(jax.vmap(
         sampler._obj_phase, in_axes=(0, 0, 0, None, 0, None, None)),
         static_argnums=())
-    joint_phase = jax.jit(
-        jax.vmap(sampler._joint_phase,
-                 in_axes=(0, 0, 0, 0, None, 0, None, None, None)),
-        static_argnames=(),
-    )
-
+    # near_end is a STATIC flag (it gates the intersection-count subgraph
+    # out of 6 of 9 joint invocations), so it must stay a Python bool
+    # through jit/vmap rather than ride in_axes=None as a tracer.
+    @functools.partial(jax.jit, static_argnames=("near_end",))
     def _joint(h, o, n, lat, vp, tg, sched, i, near_end):
-        return joint_phase(h, o, n, lat, vp, tg, sched, i, near_end)
+        return jax.vmap(
+            lambda hb, ob, nb, latb, tgb: sampler._joint_phase(
+                hb, ob, nb, latb, vp, tgb, sched, i, near_end)
+        )(h, o, n, lat, tg)
 
     @jax.jit
     def advance(sched, i, eps, lat):

@@ -440,7 +440,7 @@ def vae_query_logits(
     queries: jnp.ndarray,
     chunk: int = 8192,
     remat_chunks: bool = True,
-    group: int = 8,
+    group: int = 34,
 ) -> jnp.ndarray:
     """Scaled decode + chunked grid query (reference latent2sdf,
     pipelines.py:292-312; chunk 8000 -> padded to an MXU-friendly 8192).
@@ -464,7 +464,12 @@ def vae_query_logits(
     # 8192, so larger chunks can't amortize the per-call overhead (~10 ms vs
     # ~2.3 ms of flops at chunk=8192). Instead stack `group` chunks as a
     # BATCH axis per call: q stays 8192, the flash grid gets group x taller.
+    # Sweep (65^3 grad): group 8 -> 406 ms, 17 -> 363, 34 (one group) -> 355.
     group = max(1, min(group, n_chunks))
+    # equalize group sizes across the fixed number of groups so the last
+    # group isn't mostly padding (112 chunks at group=34 would pad 24)
+    n_groups = -(-n_chunks // group)
+    group = -(-n_chunks // n_groups)
     gpad = (-n_chunks) % group
     qc = jnp.pad(qc, ((0, gpad), (0, 0), (0, 0), (0, 0)))
     qg = qc.reshape(-1, group * B, chunk, 3)  # [n_groups, G*B, chunk, 3]

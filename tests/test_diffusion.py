@@ -103,6 +103,13 @@ def test_vae_query_logits_chunking():
     chunked = vae_query_logits(model, params, latents, queries, chunk=32)
     assert full.shape == (1, 100)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
+    # chunk-group batching (incl. the group-equalization path: 4 chunks at
+    # group=3 equalizes to 2 groups of 2) must not change values
+    for group in (1, 2, 3, 4, 7):
+        grouped = vae_query_logits(model, params, latents, queries, chunk=32,
+                                   group=group)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(grouped),
+                                   atol=1e-5)
 
 
 def test_vae_query_logits_differentiable_wrt_latents():
