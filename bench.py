@@ -120,7 +120,11 @@ def main() -> None:
     cam = GuidanceCamera(height=H, width=W, fov_deg=45.0)
     sampler = GuidedSampler(dit=dit, vae=vae, camera=cam, config=cfg,
                             max_verts=24576, max_faces=49152, vae_chunk=8192,
-                            raster_faces_per_tile=4096)
+                            raster_faces_per_tile=4096,
+                            inloop_coarse_factor=int(
+                                os.environ.get("FOHO_INLOOP_CF", "0")),
+                            inloop_cell_cap=int(
+                                os.environ.get("FOHO_INLOOP_CAP", "6144")))
 
     key = jax.random.key(0)
     latents = jax.random.normal(key, (1, num_latents, vae_cfg.embed_dim))

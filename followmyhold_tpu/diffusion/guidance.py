@@ -44,7 +44,12 @@ import optax
 
 from followmyhold_tpu.configs.guidance import OptimizationConfig
 from followmyhold_tpu.diffusion.scheduler import FlowMatchSchedule, make_schedule, step, step_final
-from followmyhold_tpu.models.hunyuan import HunyuanDiT, ShapeVAE, vae_query_logits
+from followmyhold_tpu.models.hunyuan import (
+    HunyuanDiT,
+    ShapeVAE,
+    vae_query_logits,
+    vae_query_logits_hier_grid,
+)
 from followmyhold_tpu.models.mano import mano_vert_to_3dkps
 from followmyhold_tpu.ops.camera import GuidanceCamera
 from followmyhold_tpu.ops.grid import generate_dense_grid_points, generate_grid_jax
@@ -156,10 +161,22 @@ def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
 def _decode_object(
     vae: ShapeVAE, vae_params, sched: FlowMatchSchedule, step_i,
     noise_pred, latents, xyz, bbox, octree_res, max_verts, max_faces, chunk,
+    hier_cf: int = 0, hier_cap: int = 6144,
 ):
-    """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid."""
+    """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid.
+
+    hier_cf > 0 switches the dense 65^3 decode to the two-level
+    coarse+refine decode (vae_query_logits_hier_grid): value- and
+    gradient-exact wherever marching tets emits geometry, ~1.9x fewer geo
+    queries per iteration."""
     x1 = step_final(sched, step_i, noise_pred, latents)
-    logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk)[0]
+    if hier_cf:
+        logits, _ = vae_query_logits_hier_grid(
+            vae, vae_params, x1, bbox[0], bbox[1], octree_res, chunk,
+            coarse_factor=hier_cf, cell_cap=hier_cap)
+        logits = logits[0]
+    else:
+        logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk)[0]
     sdf = -logits  # FOHO sign convention (pipelines.py:312)
     mesh = marching_tets(sdf, bbox[0], bbox[1], octree_res,
                          max_verts=max_verts, max_faces=max_faces)
@@ -262,6 +279,10 @@ class GuidedSampler:
     raster_faces_per_tile: int = 4096
     hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less
     final_octree_resolution: Optional[int] = None  # None -> config value
+    # in-loop two-level decode (0 = dense); cap sized for 65^3: crossing
+    # cells ~3k of 32^3 at cf=2, margin-selected ~1.5-2x that
+    inloop_coarse_factor: int = 0
+    inloop_cell_cap: int = 6144
 
     # ------------------------------------------------------------------ #
 
@@ -343,7 +364,8 @@ class GuidedSampler:
         def loss_fn(p):
             mesh, _ = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
-                xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+                xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
+                self.inloop_coarse_factor, self.inloop_cell_cap)
             tmesh = _transform_object(mesh, targets, p["pose"])
             vn = vertex_normals(tmesh)
             n01, disp01, out = render_normal_and_disparity(
@@ -417,7 +439,8 @@ class GuidedSampler:
 
             mesh, sdf = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
-                xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+                xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
+                self.inloop_coarse_factor, self.inloop_cell_cap)
             tmesh = _transform_object(mesh, targets, p["obj"])
 
             # attraction: squared NN distances hand->obj, clamp(d - 1cm)
@@ -652,7 +675,8 @@ class GuidedSampler:
         xyz, bbox, res = self._grid()
         mesh, _ = _decode_object(
             self.vae, vae_params, sched, step_i, noise_pred, latents,
-            xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+            xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
+            self.inloop_coarse_factor, self.inloop_cell_cap)
         nv, nf = int(mesh.num_verts), int(mesh.num_faces)
         if nf > 0:
             debug.dump_mesh(f"{tag}_obj.ply", np.asarray(mesh.verts)[:nv],
@@ -667,7 +691,8 @@ class GuidedSampler:
         xyz, bbox, res = self._grid()
         mesh, _ = _decode_object(
             self.vae, vae_params, sched, step_i, noise_pred, latents,
-            xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk)
+            xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
+            self.inloop_coarse_factor, self.inloop_cell_cap)
         tmesh = _transform_object(mesh, targets, obj)
         hoi = _join_meshes(hand_verts, targets.mano_faces,
                            jnp.ones(hand_verts.shape[0]),

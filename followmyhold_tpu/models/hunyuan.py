@@ -28,6 +28,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from followmyhold_tpu.ops.attention import multi_head_attention
 
@@ -433,6 +434,55 @@ class ShapeVAE(nn.Module):
         return self.geo.query(queries, kv)
 
 
+def _geo_query_grouped(
+    vae: ShapeVAE,
+    params,
+    kv: jnp.ndarray,          # [B, L, 2*width] precomputed geo k/v
+    queries: jnp.ndarray,     # [B, N, 3]
+    chunk: int = 8192,
+    remat_chunks: bool = True,
+    group: int = 34,
+) -> jnp.ndarray:
+    """Chunked + grouped geo-decoder query against precomputed k/v.
+
+    The remote-compile tunnel rejects attention graphs with q longer than
+    8192, so larger chunks can't amortize the per-call overhead (~10 ms vs
+    ~2.3 ms of flops at chunk=8192). Instead stack `group` chunks as a
+    BATCH axis per call: q stays 8192, the flash grid gets group x taller.
+    Sweep (65^3 grad): group 8 -> 406 ms, 17 -> 363, 34 (one group) -> 355.
+    """
+    B, N, _ = queries.shape
+    pad = (-N) % chunk
+    qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
+    qc = qp.reshape(B, -1, chunk, 3).transpose(1, 0, 2, 3)  # [n_chunks,B,chunk,3]
+    n_chunks = qc.shape[0]
+    group = max(1, min(group, n_chunks))
+    # equalize group sizes across the fixed number of groups so the last
+    # group isn't mostly padding (112 chunks at group=34 would pad 24)
+    n_groups = -(-n_chunks // group)
+    group = -(-n_chunks // n_groups)
+    gpad = (-n_chunks) % group
+    qc = jnp.pad(qc, ((0, gpad), (0, 0), (0, 0), (0, 0)))
+    qg = qc.reshape(-1, group * B, chunk, 3)  # [n_groups, G*B, chunk, 3]
+    kvg = jnp.broadcast_to(kv[None], (group,) + kv.shape).reshape(
+        group * B, *kv.shape[1:])
+    geo_fn = lambda q, f: vae.apply(params, q, f,  # noqa: E731
+                                    method=ShapeVAE.geo_query)
+    if remat_chunks:
+        geo_fn = jax.checkpoint(geo_fn)
+    logits = jax.lax.map(lambda q: geo_fn(q, kvg), qg)  # [n_groups, G*B, chunk]
+    logits = logits.reshape(-1, B, chunk).transpose(1, 0, 2).reshape(B, -1)
+    return logits[:, :N]
+
+
+def vae_decode_kv(vae: ShapeVAE, params, latents: jnp.ndarray) -> jnp.ndarray:
+    """Scaled ShapeVAE decode + geo k/v projection (computed ONCE per decode,
+    not once per query chunk)."""
+    feats = vae.apply(params, latents / vae.cfg.scale_factor,
+                      method=ShapeVAE.decode)
+    return vae.apply(params, feats, method=ShapeVAE.geo_kv)
+
+
 def vae_query_logits(
     vae: ShapeVAE,
     params,
@@ -451,37 +501,122 @@ def vae_query_logits(
     remat_chunks recomputes each chunk's forward in the backward (HBM vs
     FLOPs; see ShapeVAEConfig.remat_blocks).
     """
-    feats = vae.apply(params, latents / vae.cfg.scale_factor,
-                      method=ShapeVAE.decode)
-    # k/v of the latent set once, NOT once per chunk
-    kv = vae.apply(params, feats, method=ShapeVAE.geo_kv)
-    B, N, _ = queries.shape
-    pad = (-N) % chunk
-    qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
-    qc = qp.reshape(B, -1, chunk, 3).transpose(1, 0, 2, 3)  # [n_chunks,B,chunk,3]
-    n_chunks = qc.shape[0]
-    # the remote-compile tunnel rejects attention graphs with q longer than
-    # 8192, so larger chunks can't amortize the per-call overhead (~10 ms vs
-    # ~2.3 ms of flops at chunk=8192). Instead stack `group` chunks as a
-    # BATCH axis per call: q stays 8192, the flash grid gets group x taller.
-    # Sweep (65^3 grad): group 8 -> 406 ms, 17 -> 363, 34 (one group) -> 355.
-    group = max(1, min(group, n_chunks))
-    # equalize group sizes across the fixed number of groups so the last
-    # group isn't mostly padding (112 chunks at group=34 would pad 24)
-    n_groups = -(-n_chunks // group)
-    group = -(-n_chunks // n_groups)
-    gpad = (-n_chunks) % group
-    qc = jnp.pad(qc, ((0, gpad), (0, 0), (0, 0), (0, 0)))
-    qg = qc.reshape(-1, group * B, chunk, 3)  # [n_groups, G*B, chunk, 3]
-    kvg = jnp.broadcast_to(kv[None], (group,) + kv.shape).reshape(
-        group * B, *kv.shape[1:])
-    geo_fn = lambda q, f: vae.apply(params, q, f,  # noqa: E731
-                                    method=ShapeVAE.geo_query)
-    if remat_chunks:
-        geo_fn = jax.checkpoint(geo_fn)
-    logits = jax.lax.map(lambda q: geo_fn(q, kvg), qg)  # [n_groups, G*B, chunk]
-    logits = logits.reshape(-1, B, chunk).transpose(1, 0, 2).reshape(B, -1)
-    return logits[:, :N]
+    kv = vae_decode_kv(vae, params, latents)
+    return _geo_query_grouped(vae, params, kv, queries, chunk,
+                              remat_chunks, group)
+
+
+def _upsample_corner_aligned(g: jnp.ndarray, cf: int) -> jnp.ndarray:
+    """Corner-aligned trilinear upsample [n_c,n_c,n_c] -> [(n_c-1)*cf+1, ...]
+    (device twin of compose_hierarchical_grid's host up_axis)."""
+
+    def up_axis(a):
+        base, nxt = a[:-1], a[1:]
+        parts = jnp.stack(
+            [base * (1 - r / cf) + nxt * (r / cf) for r in range(cf)], axis=1)
+        out = parts.reshape((a.shape[0] - 1) * cf, *a.shape[1:])
+        return jnp.concatenate([out, a[-1:]], axis=0)
+
+    for _ in range(3):
+        g = jnp.moveaxis(up_axis(g), 0, 2)
+    return g
+
+
+def vae_query_logits_hier_grid(
+    vae: ShapeVAE,
+    params,
+    latents: jnp.ndarray,            # [1, L, E]
+    bbox_min,
+    bbox_max,
+    resolution: int,
+    chunk: int = 8192,
+    coarse_factor: int = 2,
+    cell_cap: int = 6144,
+    pad_factor: float = 1.5,
+    remat_chunks: bool = True,
+):
+    """DIFFERENTIABLE two-level grid decode -> dense logits [1, (res+1)^3].
+
+    The in-loop 65^3 decode queries all 274,625 grid points through the geo
+    cross-attention every optimizer iteration (reference latent2sdf,
+    pipelines.py:292-312), but the loss gradient only reaches logits at
+    surface-crossing cells (marching-tets vertices interpolate those; far
+    cells emit nothing). So: decode the coarse (res/cf) sub-lattice (an exact
+    subset of the fine grid), select cells whose corner signs could cross
+    within a pad_factor margin (same conservative rule as the export decode),
+    and refine ONLY the selected cells' non-coarse lattice points — 19 of 27
+    offsets at cf=2; the 8 coarse-aligned corners are already exact.
+
+    Composition is a multiplicity-normalized scatter-ADD of (fine - upsampled)
+    deltas: adjacent selected cells share face/edge corners, and a plain
+    scatter-set with duplicate indices would double-count their cotangents in
+    the backward. With the delta/multiplicity form each duplicate write gets
+    cot/mult (summing to the true cotangent) and the interpolated background
+    cancels exactly at refined points, so values AND gradients match the
+    dense decode wherever geometry is emitted (selection is stop_gradient'd,
+    discrete in the reference semantics too).
+
+    Returns (dense_logits [1, (res+1)^3], n_selected). n_selected > cell_cap
+    means missed cells keep interpolated (sign-correct, value-approximate)
+    background values — monitor like export's capacity check.
+    """
+    assert resolution % coarse_factor == 0
+    assert latents.shape[0] == 1, "in-loop decode is per-image (vmap batches)"
+    cf = coarse_factor
+    res_c = resolution // cf
+    n_c, n_f = res_c + 1, resolution + 1
+    lo = jnp.asarray(bbox_min, jnp.float32)
+    hi = jnp.asarray(bbox_max, jnp.float32)
+    step_f = (hi - lo) / resolution
+
+    kv = vae_decode_kv(vae, params, latents)
+
+    # ---- level 1: coarse sub-lattice (every cf-th fine point) ----
+    idx_c = jnp.arange(n_c) * cf
+    IX, IY, IZ = jnp.meshgrid(idx_c, idx_c, idx_c, indexing="ij")
+    pts_c = lo + jnp.stack([IX, IY, IZ], -1).astype(jnp.float32) * step_f
+    g_c = _geo_query_grouped(vae, params, kv, pts_c.reshape(1, -1, 3),
+                             chunk, remat_chunks)[0]
+    g_c3 = g_c.reshape(n_c, n_c, n_c)
+
+    # ---- select surface cells (discrete; gradient-free) ----
+    sel_src = jax.lax.stop_gradient(g_c3)
+    cs = jnp.stack([sel_src[dx:dx + res_c, dy:dy + res_c, dz:dz + res_c]
+                    for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)])
+    cmin, cmax = cs.min(0), cs.max(0)
+    min_abs = jnp.minimum(jnp.abs(cmin), jnp.abs(cmax))
+    spread = cmax - cmin
+    select = ((cmin <= 0) & (cmax >= 0)) | (min_abs < pad_factor * spread)
+    select = select.reshape(-1)
+    n_sel = select.sum()
+    (cell_ids,) = jnp.nonzero(select, size=cell_cap, fill_value=0)
+    pad_row = jnp.arange(cell_cap) >= jnp.minimum(n_sel, cell_cap)
+    cell_ids = jnp.where(pad_row, cell_ids[0], cell_ids)
+
+    # ---- level 2: refine non-coarse lattice points of selected cells ----
+    ci = cell_ids // (res_c * res_c)
+    cj = (cell_ids // res_c) % res_c
+    ck = cell_ids % res_c
+    base = jnp.stack([ci, cj, ck], -1) * cf                      # [K,3]
+    offs = np.array([(i, j, k)
+                     for i in range(cf + 1)
+                     for j in range(cf + 1)
+                     for k in range(cf + 1)
+                     if not (i % cf == 0 and j % cf == 0 and k % cf == 0)],
+                    np.int32)                                    # [(cf+1)^3-8,3]
+    fine_idx = base[:, None, :] + jnp.asarray(offs)[None]        # [K,P,3]
+    pts_f = lo + fine_idx.astype(jnp.float32) * step_f
+    g_f = _geo_query_grouped(vae, params, kv, pts_f.reshape(1, -1, 3),
+                             chunk, remat_chunks)[0]             # [K*P]
+
+    # ---- compose: trilinear background + delta/multiplicity scatter ----
+    dense = _upsample_corner_aligned(g_c3, cf).reshape(-1)       # [n_f^3]
+    flat = ((fine_idx[..., 0] * n_f + fine_idx[..., 1]) * n_f
+            + fine_idx[..., 2]).reshape(-1)
+    up_at = dense[flat]
+    mult = jnp.zeros(n_f ** 3, jnp.float32).at[flat].add(1.0)
+    dense = dense.at[flat].add((g_f - up_at) / jnp.maximum(mult[flat], 1.0))
+    return dense[None], n_sel
 
 
 import functools

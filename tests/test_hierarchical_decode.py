@@ -98,3 +98,106 @@ def test_hierarchical_overflow_degrades_not_crashes():
     hier, n_sel = _hier_dense(vae, None, lat, RES, 4096, 8)
     assert np.isfinite(np.asarray(hier)).all()
     assert int(n_sel) > 8   # the cap was exceeded; values still usable
+
+
+# --------------------------------------------------------------------------- #
+# in-loop two-level decode (vae_query_logits_hier_grid): values AND gradients
+# --------------------------------------------------------------------------- #
+
+from followmyhold_tpu.models.hunyuan import vae_query_logits_hier_grid  # noqa: E402
+from followmyhold_tpu.ops.surface import marching_tets  # noqa: E402
+
+
+class AnalyticVaeLatentSphere(AnalyticVae):
+    """Sphere whose center is a differentiable function of the latents (the
+    kv pass-through), so grad-through-decode paths are testable without a
+    trained VAE."""
+
+    def __init__(self):
+        pass
+
+    def apply(self, params, *args, method=None):
+        name = getattr(method, "__name__", "")
+        if name in ("decode", "geo_kv"):
+            return args[0]
+        q, kv = args                                   # [G,N,3], [G,L,E]
+        center = jnp.tanh(kv.reshape(kv.shape[0], -1)[:, :3]) * 0.3
+        sdf = jnp.linalg.norm(q - center[:, None, :], axis=-1) - 0.55
+        return -sdf
+
+
+def _mesh_loss(logits_flat, res):
+    mesh = marching_tets(-logits_flat, jnp.asarray([-BOX] * 3),
+                         jnp.asarray([BOX] * 3), res,
+                         max_verts=8192, max_faces=16384)
+    w = jnp.sin(jnp.arange(mesh.verts.size).astype(jnp.float32)).reshape(
+        mesh.verts.shape)
+    return jnp.sum(mesh.verts * w * mesh.vert_mask[:, None])
+
+
+def test_hier_grid_matches_dense_values_and_gradients():
+    """The production gradient path: latents -> decode -> mtets -> loss.
+    Hier and dense must agree in loss value and d(loss)/d(latents)."""
+    res = 32
+    vae = AnalyticVaeLatentSphere()
+    lat = jnp.asarray([[[0.3, -0.2, 0.1, 0.05]]])      # [1,1,4]
+    xyz, _, _ = generate_dense_grid_points([-BOX] * 3, [BOX] * 3, res)
+
+    def loss_dense(l):
+        return _mesh_loss(
+            vae_query_logits(vae, None, l, jnp.asarray(xyz)[None], 4096)[0],
+            res)
+
+    def loss_hier(l):
+        logits, _ = vae_query_logits_hier_grid(
+            vae, None, l, [-BOX] * 3, [BOX] * 3, res, chunk=4096,
+            coarse_factor=2, cell_cap=2048)
+        return _mesh_loss(logits[0], res)
+
+    vd, gd = jax.value_and_grad(loss_dense)(lat)
+    vh, gh = jax.value_and_grad(loss_hier)(lat)
+    np.testing.assert_allclose(vh, vd, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gh, gd, rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(gd)).max() > 1e-4         # gradient is nontrivial
+
+
+def test_hier_grid_mesh_equals_dense_two_spheres():
+    res = RES
+    vae = AnalyticVae(_two_spheres)
+    lat = jnp.zeros((1, 4, 4))
+    xyz, _, _ = generate_dense_grid_points([-BOX] * 3, [BOX] * 3, res)
+    dense = np.asarray(
+        vae_query_logits(vae, None, lat, jnp.asarray(xyz)[None], 4096)[0])
+    hier, n_sel = vae_query_logits_hier_grid(
+        vae, None, lat, [-BOX] * 3, [BOX] * 3, res, chunk=4096,
+        coarse_factor=2, cell_cap=8192)
+    hier = np.asarray(hier[0])
+    assert 0 < int(n_sel) <= 8192
+    hv, hf = marching_tets_host(-dense, [-BOX] * 3, [BOX] * 3, res)
+    sv, sf = marching_tets_host(-hier, [-BOX] * 3, [BOX] * 3, res)
+    assert len(hv) > 100
+    assert len(sv) == len(hv) and len(sf) == len(hf)
+    np.testing.assert_allclose(sv, hv, atol=1e-5)
+    np.testing.assert_array_equal(sf, hf)
+
+
+def test_hier_grid_vmaps():
+    """run_batch vmaps the decode over images; nonzero(size=...) + scatter
+    must lower under vmap."""
+    res = 16
+    vae = AnalyticVaeLatentSphere()
+    lats = jnp.asarray([[[[0.3, -0.2, 0.1, 0.05]]], [[[-0.4, 0.3, 0.0, 0.2]]]])
+
+    def f(l):
+        logits, n_sel = vae_query_logits_hier_grid(
+            vae, None, l, [-BOX] * 3, [BOX] * 3, res, chunk=512,
+            coarse_factor=2, cell_cap=512)
+        return logits, n_sel
+
+    batched, n = jax.vmap(f)(lats)
+    one0, n0 = f(lats[0])
+    one1, n1 = f(lats[1])
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(one0),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(one1),
+                               rtol=1e-6, atol=1e-6)
