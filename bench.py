@@ -124,7 +124,8 @@ def main() -> None:
                             inloop_coarse_factor=int(
                                 os.environ.get("FOHO_INLOOP_CF", "0")),
                             inloop_cell_cap=int(
-                                os.environ.get("FOHO_INLOOP_CAP", "6144")))
+                                os.environ.get("FOHO_INLOOP_CAP", "6144")),
+                            vae_remat=os.environ.get("FOHO_VAE_REMAT", "full"))
 
     key = jax.random.key(0)
     latents = jax.random.normal(key, (1, num_latents, vae_cfg.embed_dim))

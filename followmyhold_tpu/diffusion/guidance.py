@@ -161,7 +161,7 @@ def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
 def _decode_object(
     vae: ShapeVAE, vae_params, sched: FlowMatchSchedule, step_i,
     noise_pred, latents, xyz, bbox, octree_res, max_verts, max_faces, chunk,
-    hier_cf: int = 0, hier_cap: int = 6144,
+    hier_cf: int = 0, hier_cap: int = 6144, remat: str = "full",
 ):
     """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid.
 
@@ -173,10 +173,11 @@ def _decode_object(
     if hier_cf:
         logits, _ = vae_query_logits_hier_grid(
             vae, vae_params, x1, bbox[0], bbox[1], octree_res, chunk,
-            coarse_factor=hier_cf, cell_cap=hier_cap)
+            coarse_factor=hier_cf, cell_cap=hier_cap, remat=remat)
         logits = logits[0]
     else:
-        logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk)[0]
+        logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk,
+                                  remat=remat)[0]
     sdf = -logits  # FOHO sign convention (pipelines.py:312)
     mesh = marching_tets(sdf, bbox[0], bbox[1], octree_res,
                          max_verts=max_verts, max_faces=max_faces)
@@ -283,6 +284,9 @@ class GuidedSampler:
     # cells ~3k of 32^3 at cf=2, margin-selected ~1.5-2x that
     inloop_coarse_factor: int = 0
     inloop_cell_cap: int = 6144
+    # geo-query remat granularity: 'full' | 'tail' | 'none' (see
+    # vae_query_logits docstring; 'tail' skips the flash-fwd re-run in bwd)
+    vae_remat: str = "full"
 
     # ------------------------------------------------------------------ #
 
@@ -365,7 +369,7 @@ class GuidedSampler:
             mesh, _ = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
                 xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
-                self.inloop_coarse_factor, self.inloop_cell_cap)
+                self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
             tmesh = _transform_object(mesh, targets, p["pose"])
             vn = vertex_normals(tmesh)
             n01, disp01, out = render_normal_and_disparity(
@@ -440,7 +444,7 @@ class GuidedSampler:
             mesh, sdf = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
                 xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
-                self.inloop_coarse_factor, self.inloop_cell_cap)
+                self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
             tmesh = _transform_object(mesh, targets, p["obj"])
 
             # attraction: squared NN distances hand->obj, clamp(d - 1cm)
@@ -676,7 +680,7 @@ class GuidedSampler:
         mesh, _ = _decode_object(
             self.vae, vae_params, sched, step_i, noise_pred, latents,
             xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
-            self.inloop_coarse_factor, self.inloop_cell_cap)
+            self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
         nv, nf = int(mesh.num_verts), int(mesh.num_faces)
         if nf > 0:
             debug.dump_mesh(f"{tag}_obj.ply", np.asarray(mesh.verts)[:nv],
@@ -692,7 +696,7 @@ class GuidedSampler:
         mesh, _ = _decode_object(
             self.vae, vae_params, sched, step_i, noise_pred, latents,
             xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
-            self.inloop_coarse_factor, self.inloop_cell_cap)
+            self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
         tmesh = _transform_object(mesh, targets, obj)
         hoi = _join_meshes(hand_verts, targets.mano_faces,
                            jnp.ones(hand_verts.shape[0]),

@@ -381,8 +381,11 @@ class GeoDecoder(nn.Module):
         """[B,L,width] -> merged k,v [B,L,2*width]."""
         return self.kv(self.lnkv(features).astype(self.cfg.dtype))
 
-    def query(self, queries: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
-        """queries [B,N,3] x kv [B,L,2*width] -> logits [B,N]."""
+    def query_head(self, queries: jnp.ndarray, kv: jnp.ndarray):
+        """Embed + projections + cross-attention: everything whose backward
+        residuals are worth KEEPING (the flash-attention custom VJP re-runs
+        its forward kernel whenever its region is rematerialized — see
+        vae_query_logits remat='tail'). Returns (q_resid, attn_merged)."""
         c = self.cfg
         q = fourier_embed(queries, c.fourier_freqs)
         q = self.query_in(q.astype(c.dtype))
@@ -391,11 +394,21 @@ class GeoDecoder(nn.Module):
         qh = _split_heads(self.q(qn), c.geo_heads)
         attn = multi_head_attention(qh, _split_heads(k, c.geo_heads),
                                     _split_heads(v, c.geo_heads))
-        x = q + self.proj(_merge_heads(attn))
-        h = self.ln3(x).astype(c.dtype)
+        return q, _merge_heads(attn)
+
+    def query_tail(self, q: jnp.ndarray, attn_merged: jnp.ndarray) -> jnp.ndarray:
+        """Residual proj + MLP + output head: cheap to recompute, and its
+        fc1 activation ([N,4096]) is the HBM hog — the remat target."""
+        x = q + self.proj(attn_merged)
+        h = self.ln3(x).astype(self.cfg.dtype)
         x = x + self.fc2(nn.gelu(self.fc1(h), approximate=False))
         x = self.ln_out(x)
         return self.logit(x)[..., 0]
+
+    def query(self, queries: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
+        """queries [B,N,3] x kv [B,L,2*width] -> logits [B,N]."""
+        q, attn_merged = self.query_head(queries, kv)
+        return self.query_tail(q, attn_merged)
 
     def __call__(self, queries: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
         return self.query(queries, self.kv_feats(features))
@@ -433,6 +446,12 @@ class ShapeVAE(nn.Module):
     def geo_query(self, queries: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
         return self.geo.query(queries, kv)
 
+    def geo_query_head(self, queries: jnp.ndarray, kv: jnp.ndarray):
+        return self.geo.query_head(queries, kv)
+
+    def geo_query_tail(self, q: jnp.ndarray, attn_merged: jnp.ndarray):
+        return self.geo.query_tail(q, attn_merged)
+
 
 def _geo_query_grouped(
     vae: ShapeVAE,
@@ -442,6 +461,7 @@ def _geo_query_grouped(
     chunk: int = 8192,
     remat_chunks: bool = True,
     group: int = 34,
+    remat: Optional[str] = None,
 ) -> jnp.ndarray:
     """Chunked + grouped geo-decoder query against precomputed k/v.
 
@@ -450,7 +470,25 @@ def _geo_query_grouped(
     ~2.3 ms of flops at chunk=8192). Instead stack `group` chunks as a
     BATCH axis per call: q stays 8192, the flash grid gets group x taller.
     Sweep (65^3 grad): group 8 -> 406 ms, 17 -> 363, 34 (one group) -> 355.
+
+    remat modes (HBM saved vs FLOPs recomputed in the backward):
+      'full': jax.checkpoint around the whole per-group query — the backward
+              re-runs EVERYTHING including the flash-attention forward
+              kernel (its custom VJP needs out/logsumexp residuals, which a
+              plain checkpoint discards).
+      'tail': save the attention head's residuals (q/qn/qh/attn-out/lse,
+              ~2.5 GB bf16 at 65^3), checkpoint only the proj+MLP tail whose
+              fc1 activation is the real HBM hog — the backward skips the
+              flash forward re-run. Measured SLOWER than 'full' on the dense
+              65^3 decode (452 vs 435 ms grad epoch): the residual HBM
+              writes cost more than the ~3.4 ms flash re-run, since both
+              kernels sit near the D=64 MXU floor. Kept as a knob because
+              the trade shifts when the query count shrinks (hier decode).
+      'none': save everything.
+    Default: 'full' if remat_chunks (legacy bool) else 'none'.
     """
+    if remat is None:
+        remat = "full" if remat_chunks else "none"
     B, N, _ = queries.shape
     pad = (-N) % chunk
     qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
@@ -466,10 +504,18 @@ def _geo_query_grouped(
     qg = qc.reshape(-1, group * B, chunk, 3)  # [n_groups, G*B, chunk, 3]
     kvg = jnp.broadcast_to(kv[None], (group,) + kv.shape).reshape(
         group * B, *kv.shape[1:])
-    geo_fn = lambda q, f: vae.apply(params, q, f,  # noqa: E731
-                                    method=ShapeVAE.geo_query)
-    if remat_chunks:
-        geo_fn = jax.checkpoint(geo_fn)
+    if remat == "tail":
+        tail = jax.checkpoint(lambda qr, am: vae.apply(
+            params, qr, am, method=ShapeVAE.geo_query_tail))
+
+        def geo_fn(q, f):
+            qr, am = vae.apply(params, q, f, method=ShapeVAE.geo_query_head)
+            return tail(qr, am)
+    else:
+        geo_fn = lambda q, f: vae.apply(params, q, f,  # noqa: E731
+                                        method=ShapeVAE.geo_query)
+        if remat == "full":
+            geo_fn = jax.checkpoint(geo_fn)
     logits = jax.lax.map(lambda q: geo_fn(q, kvg), qg)  # [n_groups, G*B, chunk]
     logits = logits.reshape(-1, B, chunk).transpose(1, 0, 2).reshape(B, -1)
     return logits[:, :N]
@@ -491,6 +537,7 @@ def vae_query_logits(
     chunk: int = 8192,
     remat_chunks: bool = True,
     group: int = 34,
+    remat: Optional[str] = None,
 ) -> jnp.ndarray:
     """Scaled decode + chunked grid query (reference latent2sdf,
     pipelines.py:292-312; chunk 8000 -> padded to an MXU-friendly 8192).
@@ -503,7 +550,7 @@ def vae_query_logits(
     """
     kv = vae_decode_kv(vae, params, latents)
     return _geo_query_grouped(vae, params, kv, queries, chunk,
-                              remat_chunks, group)
+                              remat_chunks, group, remat)
 
 
 def _upsample_corner_aligned(g: jnp.ndarray, cf: int) -> jnp.ndarray:
@@ -534,6 +581,7 @@ def vae_query_logits_hier_grid(
     cell_cap: int = 6144,
     pad_factor: float = 1.5,
     remat_chunks: bool = True,
+    remat: Optional[str] = None,
 ):
     """DIFFERENTIABLE two-level grid decode -> dense logits [1, (res+1)^3].
 
@@ -576,7 +624,7 @@ def vae_query_logits_hier_grid(
     IX, IY, IZ = jnp.meshgrid(idx_c, idx_c, idx_c, indexing="ij")
     pts_c = lo + jnp.stack([IX, IY, IZ], -1).astype(jnp.float32) * step_f
     g_c = _geo_query_grouped(vae, params, kv, pts_c.reshape(1, -1, 3),
-                             chunk, remat_chunks)[0]
+                             chunk, remat_chunks, remat=remat)[0]
     g_c3 = g_c.reshape(n_c, n_c, n_c)
 
     # ---- select surface cells (discrete; gradient-free) ----
@@ -607,7 +655,7 @@ def vae_query_logits_hier_grid(
     fine_idx = base[:, None, :] + jnp.asarray(offs)[None]        # [K,P,3]
     pts_f = lo + fine_idx.astype(jnp.float32) * step_f
     g_f = _geo_query_grouped(vae, params, kv, pts_f.reshape(1, -1, 3),
-                             chunk, remat_chunks)[0]             # [K*P]
+                             chunk, remat_chunks, remat=remat)[0]  # [K*P]
 
     # ---- compose: trilinear background + delta/multiplicity scatter ----
     dense = _upsample_corner_aligned(g_c3, cf).reshape(-1)       # [n_f^3]

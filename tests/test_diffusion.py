@@ -125,6 +125,28 @@ def test_vae_query_logits_differentiable_wrt_latents():
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
 
 
+def test_vae_query_logits_remat_modes_agree():
+    """remat='full'/'tail'/'none' are pure scheduling choices: values and
+    d/d(latents) must be bit-comparable."""
+    model = ShapeVAE(VAE_TINY)
+    latents = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 16, 8)).astype(np.float32))
+    queries = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 100, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), latents, queries[:, :4])
+
+    def loss(lat, mode):
+        return vae_query_logits(model, params, lat, queries, chunk=32,
+                                remat=mode).sum()
+
+    v0, g0 = jax.value_and_grad(lambda l: loss(l, "full"))(latents)
+    for mode in ("tail", "none"):
+        v, g = jax.value_and_grad(lambda l: loss(l, mode))(latents)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_conditioner_uncond_shapes():
     model = Conditioner(COND_TINY)
     img = jnp.ones((2, 28, 28, 3)) * 0.5
