@@ -33,7 +33,7 @@ _SKIP_PREFIXES = (
     "obj_ptr_proj.", "obj_ptr_tpos_proj.", "sam_prompt_encoder.mask_downscaling.",
     "sam_mask_decoder.pred_obj_score_head.",
 )
-_SKIP_EXACT = ("maskmem_tpos_enc", "no_mem_embed", "no_mem_pos_enc",
+_SKIP_EXACT = ("maskmem_tpos_enc", "no_mem_pos_enc",
                "no_obj_ptr", "maskmem_feature_norm")
 
 
@@ -67,6 +67,10 @@ def convert_sam2(torch_sd: Dict[str, np.ndarray],
     def ln(src, dst):
         take(f"{src}.weight", f"{dst}/scale")
         take(f"{src}.bias", f"{dst}/bias")
+
+    # directly_add_no_mem_embed: learned [1,1,d] added to the stride-16
+    # embedding on the image-predictor path
+    take("no_mem_embed", "no_mem_embed")
 
     # ---- Hiera trunk ----
     tr = "image_encoder.trunk"

@@ -44,6 +44,11 @@ class Sam2Config:
     decoder_heads: int = 8
     decoder_mlp_dim: int = 2048
     num_mask_tokens: int = 4              # 3 multimask + 1 single
+    # single-mask output falls back to the best multimask token when the
+    # token-0 mask is unstable (sam2.1 dynamic_multimask_via_stability)
+    dynamic_multimask_via_stability: bool = True
+    stability_delta: float = 0.05
+    stability_thresh: float = 0.98
     dtype: jnp.dtype = jnp.float32
 
 
@@ -191,7 +196,11 @@ class Hiera(nn.Module):
                 heads = heads * 2
                 q_stride = 2
                 stage += 1
-            wsize = 0 if i in c.global_att_blocks else c.window_spec[stage]
+            # the FIRST block of a stage windows with the PREVIOUS stage's
+            # size (hieradet "lags by a block": partition happens pre-pool,
+            # the window shrinks by q_stride after pooling)
+            wstage = stage - 1 if q_stride > 1 else stage
+            wsize = 0 if i in c.global_att_blocks else c.window_spec[wstage]
             x = HieraBlock(dim, dim_out, heads, wsize, q_stride, c.dtype,
                            name=f"block{i}")(x)
             dim = dim_out
@@ -283,16 +292,20 @@ class PromptEncoder(nn.Module):
                    (c.d_model,), jnp.float32)
         self.param("point_embed_1", nn.initializers.normal(1.0),
                    (c.d_model,), jnp.float32)
-        self.param("not_a_point_embed", nn.initializers.normal(1.0),
-                   (c.d_model,), jnp.float32)
+        not_a_point = self.param("not_a_point_embed", nn.initializers.normal(1.0),
+                                 (c.d_model,), jnp.float32)
         no_mask = self.param("no_mask_embed", nn.initializers.normal(1.0),
                              (c.d_model,), jnp.float32)
 
         # SAM adds 0.5 px (center offset) in pixel space before normalizing;
-        # boxes01 are already normalized by the caller including that shift
+        # boxes01 are already normalized by the caller including that shift.
+        # The image-predictor path feeds boxes as corner POINTS with a padding
+        # not-a-point token appended (SAM2ImagePredictor._predict box->points,
+        # _embed_points pad=True): 3 sparse tokens, not 2.
         p1 = self.pe_encode(boxes01[:, :2], gauss) + corner1
         p2 = self.pe_encode(boxes01[:, 2:], gauss) + corner2
-        sparse = jnp.stack([p1, p2], axis=1)
+        pad = jnp.broadcast_to(not_a_point, p1.shape)
+        sparse = jnp.stack([p1, p2, pad], axis=1)
         return sparse.astype(c.dtype), no_mask
 
     def dense_pe(self, h: int, w: int):
@@ -337,14 +350,18 @@ class TwoWayBlock(nn.Module):
         c = self.cfg
         d = c.d_model
         if self.skip_first_pe:
-            q = DecoderAttention(c.decoder_heads, d, c.dtype,
-                                 name="self_attn")(queries, queries, queries)
+            # first layer: attention output REPLACES queries (no residual) —
+            # sam2 TwoWayAttentionBlock.skip_first_layer_pe
+            queries = DecoderAttention(c.decoder_heads, d, c.dtype,
+                                       name="self_attn")(queries, queries,
+                                                         queries)
         else:
             qp = queries + query_pe
             q = DecoderAttention(c.decoder_heads, d, c.dtype,
                                  name="self_attn")(qp, qp, queries)
+            queries = queries + q
         queries = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
-            queries + q).astype(c.dtype)
+            queries).astype(c.dtype)
 
         qp = queries + query_pe
         kp = keys + key_pe
@@ -443,7 +460,8 @@ class MaskDecoder(nn.Module):
             x = nn.Dense(dim, dtype=jnp.float32, name=f"iou_l{li}")(x)
             if li < 2:
                 x = nn.relu(x)
-        return masks, x
+        # sam2.1 iou_prediction_use_sigmoid=true
+        return masks, jax.nn.sigmoid(x)
 
 
 class Sam2(nn.Module):
@@ -458,6 +476,10 @@ class Sam2(nn.Module):
         self.neck = FpnNeck(self.cfg)
         self.prompt = PromptEncoder(self.cfg)
         self.decoder = MaskDecoder(self.cfg)
+        # SAM2Base.no_mem_embed: added to the stride-16 embedding on the
+        # image-predictor path (directly_add_no_mem_embed=true in sam2.1)
+        self.no_mem_embed = self.param("no_mem_embed", nn.initializers.zeros,
+                                       (1, 1, self.cfg.d_model), jnp.float32)
 
     def encode(self, image):
         mean = jnp.asarray([0.485, 0.456, 0.406])
@@ -471,18 +493,35 @@ class Sam2(nn.Module):
         feats, poss = self.encode(image)
         # feats: strides 4, 8, 16 -> s0, s1, image embedding
         feat_s0, feat_s1, image_embed = feats[0], feats[1], feats[2]
+        image_embed = image_embed + self.no_mem_embed.reshape(1, 1, 1, -1).astype(c.dtype)
         sparse, no_mask = self.prompt(boxes01)
         dense = no_mask.astype(c.dtype)
         h, w = image_embed.shape[1:3]
         image_pe = self.prompt.dense_pe(h, w)
         masks, iou = self.decoder(image_embed, image_pe, sparse, dense,
                                   feat_s0, feat_s1)
-        # single-mask output (multimask_output=False -> token 0)
+        # single-mask output (multimask_output=False -> token 0), with the
+        # sam2.1 stability fallback: if token 0's mask is unstable, use the
+        # highest-iou multimask token instead (MaskDecoder._dynamic_multimask_
+        # via_stability)
         B = image.shape[0]
         logits = masks[..., 0]
+        iou0 = iou[:, 0]
+        if c.dynamic_multimask_via_stability:
+            flat0 = logits.reshape(B, -1)
+            area_i = jnp.sum(flat0 > c.stability_delta, axis=-1).astype(jnp.float32)
+            area_u = jnp.sum(flat0 > -c.stability_delta, axis=-1).astype(jnp.float32)
+            stability = jnp.where(area_u > 0, area_i / jnp.maximum(area_u, 1.0), 1.0)
+            stable = stability >= c.stability_thresh
+            best = jnp.argmax(iou[:, 1:], axis=-1)                  # [B]
+            mbest = jnp.take_along_axis(
+                masks[..., 1:], best[:, None, None, None], axis=-1)[..., 0]
+            ibest = jnp.take_along_axis(iou[:, 1:], best[:, None], axis=-1)[:, 0]
+            logits = jnp.where(stable[:, None, None], logits, mbest)
+            iou0 = jnp.where(stable, iou0, ibest)
         H, W = image.shape[1:3]
         logits = jax.image.resize(logits, (B, H, W), "bilinear")
-        return logits, iou[:, 0]
+        return logits, iou0
 
 
 def segment_box(model: Sam2, params, image_rgb: np.ndarray,
