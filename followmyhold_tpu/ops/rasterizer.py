@@ -276,6 +276,12 @@ def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
         vis_ref[0] = vis
 
 
+# perf-diagnosis switch (trace-time static): 'all' | 'winner' (zero the
+# coverage/edge-distance grads) | 'cov' (zero the winner barycentric grads).
+# Only bench/experiments set this; results are WRONG unless 'all'.
+_BWD_PARTS = os.environ.get("FOHO_RASTER_BWD_PARTS", "all")
+
+
 def _raster_bwd_kernel(counts_ref, geom_ref, slot_ref, vis_ref, gw1_ref,
                        gw2_ref, gvis_ref, dgeom_ref, *, t: int, K: int, C: int,
                        tx: int, inv_sigma: float):
