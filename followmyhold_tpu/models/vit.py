@@ -21,6 +21,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from followmyhold_tpu.ops.attention import multi_head_attention
 
@@ -47,6 +48,10 @@ class ViTConfig:
     # "mlp" (fc1/gelu/fc2) or "swiglu" (DINOv2-giant SwiGLUFFNFused:
     # w12 -> chunk -> silu(x1)*x2 -> w3, hidden = round8(dim*4*2/3))
     ffn: str = "mlp"
+    # DINOv2's interpolate_pos_encoding quirk: samples with scale
+    # (dst + offset) / src instead of dst / src (vision_transformer.py:202-215,
+    # interpolate_offset=0.1). 0.0 = plain resize.
+    pos_interp_offset: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -63,7 +68,7 @@ HAMER_VIT_H = ViTConfig(patch_padding=2, pos_embed_cls_slot=True)
 
 DINOV2_VIT_L = ViTConfig(
     img_size=(518, 518), patch_size=14, embed_dim=1024, depth=24, num_heads=16,
-    use_cls_token=True, layerscale_init=1e-5,
+    use_cls_token=True, layerscale_init=1e-5, pos_interp_offset=0.1,
 )
 
 
@@ -125,13 +130,46 @@ class Block(nn.Module):
         return x
 
 
-def interpolate_pos_embed(pos: jnp.ndarray, src_grid, dst_grid) -> jnp.ndarray:
-    """Bicubic pos-embed resize (reference get_abs_pos, vit.py:26-57)."""
+def _torch_bicubic_weights(src: int, dst: int, scale: float) -> np.ndarray:
+    """[dst, src] sampling matrix reproducing torch F.interpolate(mode=
+    'bicubic', align_corners=False, antialias=False): out pixel i samples
+    input coordinate (i + 0.5) / scale - 0.5 through the Keys cubic kernel
+    with a = -0.75 (torch's parameter; jax.image uses -0.5) and edge-clamped
+    taps. Grids are static, so this is trace-time numpy."""
+    a = -0.75
+    W = np.zeros((dst, src), np.float64)
+    for i in range(dst):
+        x = (i + 0.5) / scale - 0.5
+        x0 = int(np.floor(x))
+        t = x - x0
+        for k in range(-1, 3):
+            tt = abs(t - k)
+            if tt <= 1.0:
+                w = (a + 2) * tt ** 3 - (a + 3) * tt ** 2 + 1
+            elif tt < 2.0:
+                w = a * tt ** 3 - 5 * a * tt ** 2 + 8 * a * tt - 4 * a
+            else:
+                continue
+            W[i, min(max(x0 + k, 0), src - 1)] += w
+    return W.astype(np.float32)
+
+
+def interpolate_pos_embed(pos: jnp.ndarray, src_grid, dst_grid,
+                          offset: float = 0.0) -> jnp.ndarray:
+    """Bicubic pos-embed resize matching torch semantics exactly (reference
+    get_abs_pos, vit.py:26-57: F.interpolate(size=dst); DINOv2
+    interpolate_pos_encoding: F.interpolate(scale_factor=(dst + offset) /
+    src) with interpolate_offset=0.1 — vision_transformer.py:202-215)."""
     if tuple(src_grid) == tuple(dst_grid):
         return pos
     c = pos.shape[-1]
-    grid = pos.reshape(1, src_grid[0], src_grid[1], c)
-    out = jax.image.resize(grid, (1, dst_grid[0], dst_grid[1], c), method="cubic")
+    grid = pos.reshape(src_grid[0], src_grid[1], c)
+    wy = jnp.asarray(_torch_bicubic_weights(
+        src_grid[0], dst_grid[0], (dst_grid[0] + offset) / src_grid[0]))
+    wx = jnp.asarray(_torch_bicubic_weights(
+        src_grid[1], dst_grid[1], (dst_grid[1] + offset) / src_grid[1]))
+    out = jnp.einsum("ij,jkc->ikc", wy, grid)
+    out = jnp.einsum("kj,ijc->ikc", wx, out)
     return out.reshape(1, dst_grid[0] * dst_grid[1], c)
 
 
@@ -172,7 +210,8 @@ class ViT(nn.Module):
             cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         else:
             cls_pos, patch_pos = None, pos
-        patch_pos = interpolate_pos_embed(patch_pos, c.grid, (gh, gw))
+        patch_pos = interpolate_pos_embed(patch_pos, c.grid, (gh, gw),
+                                          c.pos_interp_offset)
         if c.pos_embed_cls_slot and not c.use_cls_token:
             # HaMeR adds the cls-slot embedding as a bias to every token
             patch_pos = patch_pos + cls_pos
@@ -213,10 +252,15 @@ class ViT(nn.Module):
         )
         x, layer_outs = scan(c, need_ys, name="blocks")(x, None)  # ys [D,B,N,C]
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(c.dtype)
+        norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        x = norm(x).astype(c.dtype)
 
         if out_layers is not None:
-            collected = [layer_outs[i][:, n_prefix:] for i in out_layers]
+            # DINOv2 get_intermediate_layers applies the FINAL norm to every
+            # collected layer (vision_transformer.py norm=True default; MoGe
+            # relies on it) — raw block outputs would be numerically wrong
+            collected = [norm(layer_outs[i]).astype(c.dtype)[:, n_prefix:]
+                         for i in out_layers]
             return collected, x[:, n_prefix:], (x[:, 0] if c.use_cls_token else None)
         return x[:, n_prefix:]
 

@@ -132,6 +132,17 @@ def import_moge_oracle():
     return importlib.import_module("moge.model.modules")
 
 
+def import_dinov2_oracle():
+    """-> the vendored DINOv2 vision_transformer module (MoGe's backbone;
+    xformers-free fallback path)."""
+    _install_stubs()
+    os.environ.setdefault("XFORMERS_DISABLED", "1")
+    path = os.path.join(REFERENCE, "third_party/MoGe")
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    return importlib.import_module("moge.model.dinov2.models.vision_transformer")
+
+
 def import_frcnn_resnet_oracle():
     """-> the hand_object_detector resnet module (ResNet/Bottleneck classes),
     with its package-internal imports stubbed (cfg, _fasterRCNN, roi layers

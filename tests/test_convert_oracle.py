@@ -452,3 +452,71 @@ def test_t5_encoder_matches_hf_reference(torch):
     assert not report.unused_src, report.unused_src[:6]
     h = T5Encoder(T5_TINY_TEST).apply(params, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(h), ref, atol=3e-4)
+
+
+# --------------------------------------------------------------------------- #
+# MoGe DINOv2 encoder (cls token, LayerScale, normed intermediates,
+# offset pos-embed interpolation)
+# --------------------------------------------------------------------------- #
+
+def test_moge_dinov2_encoder_matches_reference(torch):
+    """get_intermediate_layers parity: DINOv2 applies the FINAL norm to every
+    collected layer (norm=True default, relied on by MoGe's DINOv2Encoder)
+    and interpolates pos embeds with the interpolate_offset=0.1 quirk — both
+    reproduced in models/vit.ViT."""
+    vt = oracles.import_dinov2_oracle()
+
+    D, depth, heads = 32, 2, 2
+    m = vt.DinoVisionTransformer(
+        img_size=518, patch_size=14, embed_dim=D, depth=depth,
+        num_heads=heads, mlp_ratio=4.0, init_values=1e-5, block_chunks=0)
+    m.eval()
+    with torch.no_grad():
+        for p in m.parameters():
+            p.normal_(0, 0.05)
+
+    from followmyhold_tpu.convert.common import ConversionReport, to_mutable
+    from followmyhold_tpu.convert.vit_torch import convert_vit
+    from followmyhold_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(img_size=(518, 518), patch_size=14, embed_dim=D,
+                    depth=depth, num_heads=heads, use_cls_token=True,
+                    layerscale_init=1e-5, pos_interp_offset=0.1,
+                    dtype=jnp.float32)
+    model = ViT(cfg)
+
+    # MoGe-style non-square input -> pos interpolation path is ACTIVE
+    bh, bw = 6, 8
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (2, 3, bh * 14, bw * 14)).astype(np.float32)
+    with torch.no_grad():
+        feats = m.get_intermediate_layers(torch.from_numpy(x), n=[0, 1],
+                                          return_class_token=True)
+
+    xf = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = to_mutable(model.init(jax.random.key(0), xf, out_layers=[0, 1]))
+    report = ConversionReport()
+    convert_vit({k: v.numpy() for k, v in m.state_dict().items()},
+                params, prefix="", flax_prefix="params", depth=depth,
+                report=report)
+    assert not report.missing_src, report.missing_src
+    # dinov2's mask_token is inference-unused
+    assert set(report.unused_src) <= {"mask_token"}, report.unused_src
+
+    inter, _final, cls = model.apply(params, xf, out_layers=[0, 1])
+
+    for ours, (ref_tok, ref_cls) in zip(inter, feats):
+        np.testing.assert_allclose(np.asarray(ours), ref_tok.numpy(),
+                                   atol=3e-4)
+    np.testing.assert_allclose(np.asarray(cls), feats[-1][1].numpy(),
+                               atol=3e-4)
+
+    # matched square grid -> interpolation inactive -> tight tolerance
+    xs = rng.normal(0, 1, (1, 3, 518, 518)).astype(np.float32)
+    with torch.no_grad():
+        feats_s = m.get_intermediate_layers(torch.from_numpy(xs), n=[1],
+                                            return_class_token=True)
+    ours_s, _, _ = model.apply(
+        params, jnp.asarray(np.transpose(xs, (0, 2, 3, 1))), out_layers=[1])
+    np.testing.assert_allclose(np.asarray(ours_s[0]), feats_s[0][0].numpy(),
+                               atol=3e-4)
