@@ -71,7 +71,7 @@ def build_models(dit_cfg: DiTConfig | None = None,
     cond = Conditioner(cond_cfg)
 
     lat = jnp.zeros((1, vae_cfg.num_latents, vae_cfg.embed_dim))
-    n_cond = (cond_cfg.image_size // cond_cfg.patch_size) ** 2
+    n_cond = cond_cfg.n_tokens
     dit_params = load_or_init(
         "hunyuan_dit",
         lambda k: dit.init(k, lat, jnp.zeros(1),

@@ -828,7 +828,15 @@ class ConditionerConfig:
     depth: int = 40
     heads: int = 24
     ffn: str = "swiglu"
+    # hy3dgen DinoImageEncoder(use_cls_token=True): the cond sequence is
+    # last_hidden_state = cls + patches (1370 tokens at 518/14)
+    use_cls_token: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def n_tokens(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + (
+            1 if self.use_cls_token else 0)
 
 
 COND_FULL = ConditionerConfig()
@@ -864,8 +872,8 @@ class ImageConditioner(nn.Module):
         x = (x - mean) / std
         if x.shape[1] != c.image_size:
             x = jax.image.resize(
-                x, (x.shape[0], c.image_size, c.image_size, x.shape[-1]), "bilinear")
-        tokens = ViT(vcfg, name="encoder")(x)
+                x, (x.shape[0], c.image_size, c.image_size, x.shape[-1]), "cubic")
+        tokens = ViT(vcfg, name="encoder")(x, keep_prefix=c.use_cls_token)
         return {"main": tokens}
 
 
@@ -873,11 +881,13 @@ class Conditioner(nn.Module):
     cfg: ConditionerConfig
 
     def setup(self):
-        n_tokens = (self.cfg.image_size // self.cfg.patch_size) ** 2
         self.encoder = ImageConditioner(self.cfg)
+        # hy3dgen's ImageEncoder.unconditional_embedding returns ZEROS of
+        # [B, n_tokens, D]; kept as a zero-init param so checkpoint variants
+        # that do ship a learned table convert onto it (absent -> zeros)
         self.uncond_embedding = self.param(
             "uncond_embedding", nn.initializers.zeros,
-            (1, n_tokens, self.cfg.embed_dim), jnp.float32)
+            (1, self.cfg.n_tokens, self.cfg.embed_dim), jnp.float32)
 
     def __call__(self, image, mask=None):
         return self.encoder(image, mask)

@@ -184,6 +184,7 @@ class ViT(nn.Module):
         self,
         images: jnp.ndarray,  # [B, H, W, 3] float
         out_layers: Optional[Sequence[int]] = None,
+        keep_prefix: bool = False,
     ):
         c = self.cfg
         B, H, W, _ = images.shape
@@ -262,6 +263,10 @@ class ViT(nn.Module):
             collected = [norm(layer_outs[i]).astype(c.dtype)[:, n_prefix:]
                          for i in out_layers]
             return collected, x[:, n_prefix:], (x[:, 0] if c.use_cls_token else None)
+        if keep_prefix:
+            # HF-style last_hidden_state: cls (+ registers) kept — the
+            # Hunyuan DINO conditioner feeds cls+patches to the DiT
+            return x
         return x[:, n_prefix:]
 
 

@@ -520,3 +520,48 @@ def test_moge_dinov2_encoder_matches_reference(torch):
         params, jnp.asarray(np.transpose(xs, (0, 2, 3, 1))), out_layers=[1])
     np.testing.assert_allclose(np.asarray(ours_s[0]), feats_s[0][0].numpy(),
                                atol=3e-4)
+
+
+def test_dinov2_swiglu_cls_sequence_matches_reference(torch):
+    """The Hunyuan conditioner path: DINOv2-giant-style SwiGLU FFN, full
+    cls+patch output sequence (keep_prefix=True == HF last_hidden_state)."""
+    vt = oracles.import_dinov2_oracle()
+
+    D, depth, heads = 32, 2, 2
+    m = vt.DinoVisionTransformer(
+        img_size=28, patch_size=14, embed_dim=D, depth=depth,
+        num_heads=heads, mlp_ratio=4.0, init_values=1e-5,
+        ffn_layer="swiglufused", block_chunks=0)
+    m.eval()
+    with torch.no_grad():
+        for p in m.parameters():
+            p.normal_(0, 0.05)
+
+    from followmyhold_tpu.convert.common import ConversionReport, to_mutable
+    from followmyhold_tpu.convert.vit_torch import convert_vit
+    from followmyhold_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(img_size=(28, 28), patch_size=14, embed_dim=D,
+                    depth=depth, num_heads=heads, use_cls_token=True,
+                    layerscale_init=1e-5, ffn="swiglu", dtype=jnp.float32)
+    model = ViT(cfg)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        feats = m.get_intermediate_layers(torch.from_numpy(x), n=[depth - 1],
+                                          return_class_token=True)
+    ref_patches, ref_cls = feats[0][0].numpy(), feats[0][1].numpy()
+
+    xf = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = to_mutable(model.init(jax.random.key(0), xf))
+    report = ConversionReport()
+    convert_vit({k: v.numpy() for k, v in m.state_dict().items()},
+                params, prefix="", flax_prefix="params", depth=depth,
+                report=report)
+    assert not report.missing_src, report.missing_src
+    assert set(report.unused_src) <= {"mask_token"}, report.unused_src
+
+    seq = model.apply(params, xf, keep_prefix=True)     # [B, 1+N, D]
+    np.testing.assert_allclose(np.asarray(seq[:, 0]), ref_cls, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(seq[:, 1:]), ref_patches, atol=3e-4)

@@ -148,13 +148,15 @@ def test_vae_query_logits_remat_modes_agree():
 
 
 def test_conditioner_uncond_shapes():
+    # cls + 4 patches: hy3dgen DinoImageEncoder(use_cls_token=True) feeds
+    # last_hidden_state (cls included) to the DiT; uncond matches
     model = Conditioner(COND_TINY)
     img = jnp.ones((2, 28, 28, 3)) * 0.5
     params = model.init(jax.random.key(0), img)
     cond = model.apply(params, img)
-    assert cond["main"].shape == (2, 4, 32)
+    assert cond["main"].shape == (2, 5, 32)
     uncond = model.apply(params, 2, method=Conditioner.unconditional_embedding)
-    assert uncond["main"].shape == (2, 4, 32)
+    assert uncond["main"].shape == (2, 5, 32)
 
 
 def test_fourier_embed_shape():

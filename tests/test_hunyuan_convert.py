@@ -213,7 +213,7 @@ def _synth_cond_timm(cfg):
     sd = {}
     e = cfg.embed_dim
     n = (cfg.image_size // cfg.patch_size) ** 2
-    _add(sd, "main_image_encoder.unconditional_embedding", 1, n, e)
+    _add(sd, "main_image_encoder.unconditional_embedding", 1, cfg.n_tokens, e)
     _add(sd, f"{pfx}cls_token", 1, 1, e)
     _add(sd, f"{pfx}pos_embed", 1, n + 1, e)
     _add(sd, f"{pfx}mask_token", 1, e)           # unused by inference, dropped
@@ -252,7 +252,7 @@ def _synth_cond_hf(cfg):
     sd = {}
     e = cfg.embed_dim
     n = (cfg.image_size // cfg.patch_size) ** 2
-    _add(sd, "main_image_encoder.unconditional_embedding", 1, n, e)
+    _add(sd, "main_image_encoder.unconditional_embedding", 1, cfg.n_tokens, e)
     _add(sd, f"{pfx}embeddings.cls_token", 1, 1, e)
     _add(sd, f"{pfx}embeddings.mask_token", 1, e)
     _add(sd, f"{pfx}embeddings.position_embeddings", 1, n + 1, e)
@@ -309,9 +309,8 @@ def test_convert_conditioner_complete_and_forward(cfg, synth):
                       .astype(np.float32))
     out = model.apply(params, img)
     tokens = out["main"]
-    n = (cfg.image_size // cfg.patch_size) ** 2
-    assert tokens.shape == (1, n, cfg.embed_dim)
+    assert tokens.shape == (1, cfg.n_tokens, cfg.embed_dim)
     assert np.isfinite(np.asarray(tokens)).all()
     uncond = model.apply(params, 2,
                          method=Conditioner.unconditional_embedding)["main"]
-    assert uncond.shape == (2, n, cfg.embed_dim)
+    assert uncond.shape == (2, cfg.n_tokens, cfg.embed_dim)
