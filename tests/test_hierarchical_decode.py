@@ -201,3 +201,31 @@ def test_hier_grid_vmaps():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(batched[1]), np.asarray(one1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hier_grid_pf_default_survives_adversarial_field():
+    """pad_factor=0.5 regression pin: ripples with wavelength ~2 fine cells
+    (the measured failure boundary is 0.25) must still produce the exact
+    dense mesh at production resolution."""
+    res = 64
+
+    def spiky(q):
+        r = jnp.linalg.norm(q, axis=-1)
+        rip = (0.05 * jnp.sin(40 * q[..., 0]) * jnp.sin(37 * q[..., 1])
+               * jnp.sin(43 * q[..., 2]))
+        return -(r - 0.8 - rip)
+
+    vae = AnalyticVae(spiky)
+    lat = jnp.zeros((1, 4, 4))
+    xyz, _, _ = generate_dense_grid_points([-1.1] * 3, [1.1] * 3, res)
+    dense = np.asarray(
+        vae_query_logits(vae, None, lat, jnp.asarray(xyz)[None], 8192)[0])
+    hier, n_sel = vae_query_logits_hier_grid(
+        vae, None, lat, [-1.1] * 3, [1.1] * 3, res, chunk=8192,
+        coarse_factor=2, cell_cap=8192)
+    hv, hf = marching_tets_host(-dense, [-1.1] * 3, [1.1] * 3, res)
+    sv, sf = marching_tets_host(-np.asarray(hier[0]), [-1.1] * 3, [1.1] * 3, res)
+    assert int(n_sel) <= 8192            # cap covers the adversarial shell
+    assert len(sv) == len(hv) and len(sf) == len(hf)
+    np.testing.assert_allclose(sv, hv, atol=1e-5)
+    np.testing.assert_array_equal(sf, hf)
