@@ -752,9 +752,9 @@ class GuidedSampler:
                 self.vae, self.box_v, res, chunk=self.vae_chunk)(
                     vae_params, result.latents)
             sdf = -compose_hierarchical_grid(g_c, cell_ids, fine, res)
-            if int(n_sel) > 32768:
+            if int(n_sel) > 65536:
                 print(f"WARNING: hierarchical decode cell overflow: "
-                      f"{int(n_sel)}/32768 surface cells — raise cell_cap")
+                      f"{int(n_sel)}/65536 surface cells — raise cell_cap")
             hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
                                         [self.box_v] * 3, res)
             cap_v = max(len(hv), 1)
