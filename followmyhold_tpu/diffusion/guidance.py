@@ -274,8 +274,13 @@ class GuidedSampler:
     camera: GuidanceCamera
     config: OptimizationConfig = OptimizationConfig()
     box_v: float = 1.10
-    max_verts: int = 24576
-    max_faces: int = 49152
+    # sized for box-filling objects at 65^3: an r=0.8 sphere in the 1.1 box
+    # emits 30.5k verts / 61k faces (measured); the old 24576/49152 caps
+    # TRUNCATED such meshes every iteration (systematic hole in the surface
+    # the losses then optimized against). r=1.0 worst case is 48k/96k —
+    # capacity warnings still fire there.
+    max_verts: int = 32768
+    max_faces: int = 65536
     vae_chunk: int = 8192
     raster_faces_per_tile: int = 4096
     hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less

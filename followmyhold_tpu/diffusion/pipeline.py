@@ -68,8 +68,8 @@ def latents_to_mesh(
     latents: jnp.ndarray,        # [1, L, E]
     octree_resolution: int = 64,
     box_v: float = 1.10,
-    max_verts: int = 24576,
-    max_faces: int = 49152,
+    max_verts: int = 32768,
+    max_faces: int = 65536,
     chunk: int = 8192,
     device_res_limit: int = 256,
 ) -> PaddedMesh:

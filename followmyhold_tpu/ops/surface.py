@@ -273,8 +273,8 @@ def marching_tets(
     bbox_min: jnp.ndarray,
     bbox_max: jnp.ndarray,
     resolution: int,
-    max_verts: int = 24576,
-    max_faces: int = 49152,
+    max_verts: int = 32768,
+    max_faces: int = 65536,
     iso: float = 0.0,
 ) -> PaddedMesh:
     """Extract the iso-surface of sdf_grid [(R+1)^3] (flattened, 'ij' order).
