@@ -120,7 +120,7 @@ def main() -> None:
     cam = GuidanceCamera(height=H, width=W, fov_deg=45.0)
     sampler = GuidedSampler(dit=dit, vae=vae, camera=cam, config=cfg,
                             max_verts=32768, max_faces=65536, vae_chunk=8192,
-                            raster_faces_per_tile=4096,
+                            raster_faces_per_tile=8192,
                             inloop_coarse_factor=int(
                                 os.environ.get("FOHO_INLOOP_CF", "0")),
                             inloop_cell_cap=int(

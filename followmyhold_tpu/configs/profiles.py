@@ -49,4 +49,4 @@ def guidance_mesh_caps() -> dict:
         return dict(max_verts=2048, max_faces=4096, vae_chunk=512,
                     raster_faces_per_tile=512)
     return dict(max_verts=32768, max_faces=65536, vae_chunk=8192,
-                raster_faces_per_tile=4096)
+                raster_faces_per_tile=8192)

@@ -282,7 +282,11 @@ class GuidedSampler:
     max_verts: int = 32768
     max_faces: int = 65536
     vae_chunk: int = 8192
-    raster_faces_per_tile: int = 4096
+    # per-128px-tile bin capacity: overflow DROPS faces silently. A 61k-face
+    # object covering half the 512^2 render needs ~8k faces/tile; the Pallas
+    # kernel loops to the TRUE per-tile count, so a larger cap only pays idle
+    # grid steps on sparse tiles
+    raster_faces_per_tile: int = 8192
     hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less
     final_octree_resolution: Optional[int] = None  # None -> config value
     # in-loop two-level decode (0 = dense); cap sized for 65^3: crossing
