@@ -171,17 +171,20 @@ def _decode_object(
     queries per iteration."""
     x1 = step_final(sched, step_i, noise_pred, latents)
     if hier_cf:
-        logits, _ = vae_query_logits_hier_grid(
+        logits, n_sel = vae_query_logits_hier_grid(
             vae, vae_params, x1, bbox[0], bbox[1], octree_res, chunk,
             coarse_factor=hier_cf, cell_cap=hier_cap, remat=remat)
         logits = logits[0]
     else:
         logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk,
                                   remat=remat)[0]
+        n_sel = jnp.zeros((), jnp.int32)
     sdf = -logits  # FOHO sign convention (pipelines.py:312)
     mesh = marching_tets(sdf, bbox[0], bbox[1], octree_res,
                          max_verts=max_verts, max_faces=max_faces)
-    return mesh, sdf
+    # n_sel > cell_cap means the two-level decode silently kept interpolated
+    # background in the missed cells — callers surface it per iteration
+    return mesh, sdf, n_sel
 
 
 def _transform_object(mesh: PaddedMesh, targets: GuidanceTargets,
@@ -375,7 +378,7 @@ class GuidedSampler:
         xyz, bbox, res = self._grid()
 
         def loss_fn(p):
-            mesh, _ = _decode_object(
+            mesh, _, n_sel = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
                 xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
                 self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
@@ -393,8 +396,8 @@ class GuidedSampler:
                 + 1e-3 * verts_reg_loss(tmesh.verts, tmesh.vert_mask)
                 + 1e-2 * jnp.mean(p["pose"].trans ** 2)
             )
-            return jnp.where(jnp.isfinite(total), total, 0.0), \
-                _render_snapshot(n01, disp01)
+            aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel)
+            return jnp.where(jnp.isfinite(total), total, 0.0), aux
 
         params = {"pose": obj, "noise": noise_pred}
         opt_state = tx.init(params)
@@ -450,7 +453,7 @@ class GuidedSampler:
                 + 1e-2 * jnp.mean(p["hand"].trans ** 2)
             )
 
-            mesh, sdf = _decode_object(
+            mesh, sdf, n_sel = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
                 xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
                 self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
@@ -503,8 +506,8 @@ class GuidedSampler:
                 + 1e-3 * jnp.mean(p["obj"].trans ** 2)
                 + 1e-3 * hand_loss
             )
-            return jnp.where(jnp.isfinite(total), total, 0.0), \
-                _render_snapshot(n01, disp01)
+            aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel)
+            return jnp.where(jnp.isfinite(total), total, 0.0), aux
 
         params = {"hand": hand, "obj": obj, "noise": noise_pred}
         opt_state = tx.init(params)
@@ -557,6 +560,13 @@ class GuidedSampler:
                         s = np.asarray(stack)
                         sel = np.arange(0, len(s), 10)
                         debug.dump_array(f"{tag}_{name}_grid.npy", s[sel])
+            if renders is not None and "hier_cells" in renders:
+                worst = int(np.asarray(renders["hier_cells"]).max())
+                if worst > self.inloop_cell_cap:
+                    print(f"WARNING: in-loop hier decode cell overflow at "
+                          f"{tag}: {worst}/{self.inloop_cell_cap} — missed "
+                          f"cells kept interpolated values; raise "
+                          f"inloop_cell_cap")
 
         loss_log: dict = {}
         noise_pred = jnp.zeros_like(latents)
@@ -686,7 +696,7 @@ class GuidedSampler:
                          sched, step_i):
         """Decode the current x1 estimate at in-loop resolution and dump it."""
         xyz, bbox, res = self._grid()
-        mesh, _ = _decode_object(
+        mesh, _, _ = _decode_object(
             self.vae, vae_params, sched, step_i, noise_pred, latents,
             xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
             self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
@@ -702,7 +712,7 @@ class GuidedSampler:
         of the current HOI scene, as .npy maps."""
         hand_verts = _transform_hand(targets, hand)
         xyz, bbox, res = self._grid()
-        mesh, _ = _decode_object(
+        mesh, _, _ = _decode_object(
             self.vae, vae_params, sched, step_i, noise_pred, latents,
             xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
             self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
@@ -761,9 +771,11 @@ class GuidedSampler:
                 self.vae, self.box_v, res, chunk=self.vae_chunk)(
                     vae_params, result.latents)
             sdf = -compose_hierarchical_grid(g_c, cell_ids, fine, res)
-            if int(n_sel) > 65536:
+            from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP
+            if int(n_sel) > EXPORT_CELL_CAP:
                 print(f"WARNING: hierarchical decode cell overflow: "
-                      f"{int(n_sel)}/65536 surface cells — raise cell_cap")
+                      f"{int(n_sel)}/{EXPORT_CELL_CAP} surface cells — "
+                      f"raise cell_cap")
             hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
                                         [self.box_v] * 3, res)
             cap_v = max(len(hv), 1)

@@ -96,7 +96,7 @@ def latents_to_mesh(
             vae, box_v, octree_resolution, chunk=chunk)(vae_params, latents)
         sdf = -compose_hierarchical_grid(g_c, cell_ids, fine,
                                          octree_resolution)
-        cap = 32768
+        from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP as cap
         if int(n_sel) > cap:
             print(f"WARNING: hierarchical decode cell overflow: "
                   f"{int(n_sel)}/{cap} surface cells — raise cell_cap")

@@ -489,6 +489,7 @@ def _geo_query_grouped(
     """
     if remat is None:
         remat = "full" if remat_chunks else "none"
+    assert remat in ("full", "tail", "none"), f"unknown remat mode {remat!r}"
     B, N, _ = queries.shape
     pad = (-N) % chunk
     qp = jnp.pad(queries, ((0, 0), (0, pad), (0, 0)))
@@ -678,10 +679,14 @@ def vae_query_logits_hier_grid(
 import functools
 
 
+EXPORT_CELL_CAP = 65536   # exactness needs n_selected <= cap; callers warn
+
+
 @functools.lru_cache(maxsize=8)
 def hierarchical_decode_fn(vae: ShapeVAE, box_v: float, resolution: int,
                            chunk: int = 8192, coarse_factor: int = 4,
-                           cell_cap: int = 65536, pad_factor: float = 0.5):
+                           cell_cap: int = EXPORT_CELL_CAP,
+                           pad_factor: float = 0.5):
     """ONE jitted (params, latents) -> (logits, n_selected) program for the
     two-level export decode. Eager execution dispatches each chunk as its own
     RPC over a remote-TPU tunnel (~3 ms each x ~600 chunks dominated the
@@ -748,7 +753,10 @@ def vae_query_logits_hierarchical(
     az_c = jnp.linspace(lo[2], hi[2], n_c)
     Xc, Yc, Zc = jnp.meshgrid(ax_c, ay_c, az_c, indexing="ij")
     pts_c = jnp.stack([Xc, Yc, Zc], -1).reshape(1, -1, 3)
-    g_c = vae_query_logits(vae, params, latents, pts_c, chunk)[0]
+    # ShapeVAE decode + geo k/v ONCE for both levels (~200 ms of decoder
+    # forward that two vae_query_logits calls would otherwise duplicate)
+    kv = vae_decode_kv(vae, params, latents)
+    g_c = _geo_query_grouped(vae, params, kv, pts_c, chunk)[0]
     g_c = g_c.reshape(n_c, n_c, n_c)
 
     # ---- select surface cells ----
@@ -777,8 +785,8 @@ def vae_query_logits_hierarchical(
     offs = jnp.stack([OX, OY, OZ], -1).reshape(-1, 3)           # [(c+1)^3,3]
     fine_idx = base[:, None, :] + offs[None]                    # [K,P,3]
     pts_f = lo + fine_idx.astype(jnp.float32) * step_f
-    g_f = vae_query_logits(vae, params, latents,
-                           pts_f.reshape(1, -1, 3), chunk)[0]
+    g_f = _geo_query_grouped(vae, params, kv,
+                             pts_f.reshape(1, -1, 3), chunk)[0]
     return g_c, cell_ids, g_f.reshape(cell_cap, -1), n_sel
 
 

@@ -277,8 +277,8 @@ class PromptEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, boxes01: jnp.ndarray):
-        """boxes01: [B, 4] in [0,1] (x0,y0,x1,y1) -> sparse [B, 2, d],
-        dense no-mask [d]."""
+        """boxes01: [B, 4] in [0,1] (x0,y0,x1,y1) -> sparse [B, 3, d]
+        (corner1, corner2, not-a-point pad), dense no-mask [d]."""
         c = self.cfg
         gauss = self.param(
             "pe_gaussian", nn.initializers.normal(1.0),

@@ -359,6 +359,13 @@ def _raster_bwd_kernel(counts_ref, geom_ref, slot_ref, vis_ref, gw1_ref,
             gcov = gvis * (-vis / (1.0 - cov))
             gcov = jnp.where(degen | (raw <= 0.0) | (raw >= _COV_CAP),
                              0.0, gcov)
+            # diagnosis switch: zero one half so constant folding drops its
+            # reductions; results are WRONG unless 'all'
+            if _BWD_PARTS == "cov":
+                gw1c = jnp.zeros_like(gw1c)
+                gw2c = jnp.zeros_like(gw2c)
+            elif _BWD_PARTS == "winner":
+                gcov = jnp.zeros_like(gcov)
             gd = gcov * csig
             gdmin = jnp.where(inside, gd, -gd)
             g_inner = jnp.where(inner <= d01, gdmin, 0.0)

@@ -58,14 +58,17 @@ def main() -> None:
 
         @jax.jit
         def step(p, l, c):
+            # thread the carry INTO the measured op so XLA cannot hoist the
+            # loop-invariant forward out of the scan (bench.py pattern)
             def body(carry, _):
-                lat_in = jnp.concatenate([l, l], axis=0)
+                lat_in = jnp.concatenate([carry, carry], axis=0)
                 eps = dit.apply(p, lat_in, jnp.full((2,), 0.5), c)
                 eps_c, eps_u = jnp.split(eps, 2, axis=0)
-                return carry, eps_u + 5.0 * (eps_c - eps_u)
+                guided = eps_u + 5.0 * (eps_c - eps_u)
+                return carry + guided.astype(carry.dtype) * 1e-30, None
 
-            _, outs = jax.lax.scan(body, 0, None, length=4)
-            return outs
+            out, _ = jax.lax.scan(body, l, None, length=4)
+            return out
 
         try:
             out = step(params, lat, cond)

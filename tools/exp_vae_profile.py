@@ -68,11 +68,18 @@ def main() -> None:
     pts = jnp.stack([X, Y, Z], -1).reshape(1, -1, 3)
 
     def scan4(f):
+        # the carry perturbs the first traced arg so the measured op is NOT
+        # loop-invariant (XLA would hoist it out of the scan otherwise)
         def wrapped(*args):
             def step(c, _):
-                return c, f(*args)
-            _, outs = jax.lax.scan(step, 0, None, length=4)
-            return outs
+                out = f(args[0], jax.tree_util.tree_map(
+                    lambda a: a + c * 1e-30 if hasattr(a, "dtype") and
+                    jnp.issubdtype(a.dtype, jnp.floating) else a, args[1]),
+                    *args[2:])
+                first = jax.tree_util.tree_leaves(out)[0]
+                return c + first.ravel()[0].astype(jnp.float32) * 1e-30, None
+            out, _ = jax.lax.scan(step, jnp.float32(0), None, length=4)
+            return out
         return jax.jit(wrapped)
 
     # --- decoder only ---
