@@ -174,3 +174,36 @@ def test_run_batch_per_image_fov():
     # otherwise the traced fov silently fell back to the static camera
     assert not np.allclose(np.asarray(result.hand.trans[0]),
                            np.asarray(result.hand.trans[1]), atol=1e-3)
+
+
+def test_run_and_run_batch_with_hier_decode():
+    """inloop_coarse_factor=2 end-to-end: the full sampler (serial + vmapped
+    batch) runs with the two-level decode, matches its own serial result,
+    and surfaces the hier_cells channel."""
+    import dataclasses
+
+    from followmyhold_tpu.parallel import make_mesh
+
+    sampler, dit_params, vae_params, cond, targets = _tiny_sampler()
+    hs = dataclasses.replace(sampler, inloop_coarse_factor=2,
+                             inloop_cell_cap=96)
+    keys = jax.random.split(jax.random.key(5), 2)
+
+    ref = hs.run(dit_params, vae_params, cond, cond, targets, keys[0], (16, 8))
+    assert np.isfinite(np.asarray(ref.latents)).all()
+
+    # the two-level decode is value-exact where geometry is emitted: the
+    # full serial run must match the dense sampler bit-for-bit-ish
+    dense = sampler.run(dit_params, vae_params, cond, cond, targets,
+                        keys[0], (16, 8))
+    np.testing.assert_allclose(np.asarray(ref.latents),
+                               np.asarray(dense.latents), rtol=2e-4, atol=2e-5)
+
+    stack = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.stack([x] * 2), t)
+    mesh = make_mesh("dp=2", jax.devices()[:2])
+    result = hs.run_batch(dit_params, vae_params, jnp.stack([cond] * 2),
+                          jnp.stack([cond] * 2), stack(targets), keys,
+                          (16, 8), mesh=mesh)
+    np.testing.assert_allclose(np.asarray(result.latents[0]),
+                               np.asarray(ref.latents), rtol=2e-4, atol=2e-5)
