@@ -613,3 +613,50 @@ def test_moge_focal_shift_solver_matches_reference(torch):
                                          pts.reshape(-1, 3), f_gt)
     np.testing.assert_allclose(float(s_only[0]), float(ref_s_only),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_hamer_camera_math_matches_reference(torch):
+    """cam_crop_to_full (renderer.py:12-22) and perspective_projection
+    (geometry.py:64) vs the reference torch implementations on random
+    inputs — the weak-persp -> full-image translation feeds every exported
+    keypoint/overlay artifact."""
+    import importlib
+
+    oracles._install_stubs()
+    sys.path.insert(0, os.path.join(oracles.REFERENCE,
+                                    "third_party/estimator/hamer"))
+    ref_r = importlib.import_module("hamer.utils.renderer")
+    ref_g = importlib.import_module("hamer.utils.geometry")
+
+    from followmyhold_tpu.ops.camera import cam_crop_to_full, perspective_projection
+
+    rng = np.random.default_rng(4)
+    B = 5
+    cam_bbox = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+    cam_bbox[:, 0] += 1.0                         # s > 0
+    box_center = rng.uniform(100, 400, (B, 2)).astype(np.float32)
+    box_size = rng.uniform(80, 250, B).astype(np.float32)
+    img_size = np.tile(np.asarray([[640.0, 480.0]], np.float32), (B, 1))
+    focal = 5000.0
+
+    ref = ref_r.cam_crop_to_full(
+        torch.from_numpy(cam_bbox), torch.from_numpy(box_center),
+        torch.from_numpy(box_size), torch.from_numpy(img_size), focal).numpy()
+    ours = np.asarray(cam_crop_to_full(
+        jnp.asarray(cam_bbox), jnp.asarray(box_center), jnp.asarray(box_size),
+        jnp.asarray(img_size), focal))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    pts = rng.normal(0, 0.2, (B, 21, 3)).astype(np.float32)
+    trans = ref + 0.0
+    f2 = np.tile(np.asarray([[focal, focal]], np.float32), (B, 1))
+    cc = img_size / 2
+    ref_uv = ref_g.perspective_projection(
+        torch.from_numpy(pts),
+        translation=torch.from_numpy(trans),
+        focal_length=torch.from_numpy(f2) ,
+        camera_center=torch.from_numpy(cc)).numpy()
+    ours_uv = np.asarray(perspective_projection(
+        jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(f2),
+        jnp.asarray(cc)))
+    np.testing.assert_allclose(ours_uv, ref_uv, rtol=1e-4, atol=1e-4)
