@@ -108,6 +108,70 @@ def _install_stubs():
     layers.drop_path = lambda x, *a, **k: x
 
 
+def install_diffusers_stub():
+    """Functional diffusers shims for the reference's patched scheduler
+    (third_party_patches/hy3dgen/shapegen/schedulers.py): ConfigMixin with a
+    working register_to_config, plus SchedulerMixin/BaseOutput/logging."""
+    if "diffusers" in sys.modules and not isinstance(
+            sys.modules["diffusers"], _AutoModule):
+        return
+    import functools
+    import inspect
+    import logging as _pylogging
+    from types import SimpleNamespace
+
+    d = _AutoModule("diffusers")
+
+    class ConfigMixin:
+        pass
+
+    class SchedulerMixin:
+        pass
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapped(self, *args, **kwargs):
+            ba = inspect.signature(init).bind(self, *args, **kwargs)
+            ba.apply_defaults()
+            cfg = {k: v for k, v in ba.arguments.items() if k != "self"}
+            self.config = SimpleNamespace(**cfg)
+            return init(self, *args, **kwargs)
+
+        return wrapped
+
+    class BaseOutput:
+        def __init_subclass__(cls, **kw):
+            super().__init_subclass__(**kw)
+
+    d.configuration_utils.ConfigMixin = ConfigMixin
+    d.configuration_utils.register_to_config = register_to_config
+    d.schedulers.scheduling_utils.SchedulerMixin = SchedulerMixin
+    d.utils.BaseOutput = BaseOutput
+    d.utils.logging = SimpleNamespace(
+        get_logger=lambda *a, **k: _pylogging.getLogger("stub"))
+    for name in ("diffusers", "diffusers.configuration_utils",
+                 "diffusers.schedulers", "diffusers.schedulers.scheduling_utils",
+                 "diffusers.utils"):
+        mod = d
+        for part in name.split(".")[1:]:
+            mod = getattr(mod, part)
+        sys.modules[name] = mod
+
+
+def import_reference_scheduler():
+    """-> the reference's patched FlowMatchEulerDiscreteScheduler module."""
+    _install_stubs()
+    install_diffusers_stub()
+    import importlib.util
+
+    path = os.path.join(
+        REFERENCE, "third_party_patches/hy3dgen/shapegen/schedulers.py")
+    spec = importlib.util.spec_from_file_location("ref_schedulers", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE)
 

@@ -163,3 +163,71 @@ def test_fourier_embed_shape():
     x = jnp.ones((5, 3))
     e = fourier_embed(x, 4)
     assert e.shape == (5, 3 * 9)
+
+
+def test_scheduler_matches_reference_torch():
+    """Direct oracle vs the reference's patched scheduler file
+    (third_party_patches/hy3dgen/shapegen/schedulers.py), not just
+    hand-derived parity: sigma/timestep construction (default + shift) and
+    step / step_no_update / step_final outputs on random tensors."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import _torch_oracles as oracles
+
+    if not oracles.reference_available():
+        import pytest
+
+        pytest.skip("reference tree not available")
+    import torch
+
+    ref_mod = oracles.import_reference_scheduler()
+    from followmyhold_tpu.diffusion.scheduler import (
+        make_schedule,
+        step,
+        step_final,
+        step_no_update,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (1, 16, 8)).astype(np.float32)
+    eps = rng.normal(0, 1, (1, 16, 8)).astype(np.float32)
+
+    for shift in (1.0, 3.0):
+        ref = ref_mod.FlowMatchEulerDiscreteScheduler(shift=shift)
+        ref.set_timesteps(20)
+        ours = make_schedule(num_inference_steps=20, shift=shift)
+        np.testing.assert_allclose(np.asarray(ours.sigmas),
+                                   ref.sigmas.numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ours.timesteps),
+                                   ref.timesteps.numpy(), rtol=1e-5, atol=1e-4)
+
+        for i in (0, 7, 18):
+            ref._step_index = i
+            out = ref.step(torch.from_numpy(eps), ref.timesteps[i],
+                           torch.from_numpy(x))
+            prev, x1 = step(ours, i, jnp.asarray(eps), jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(prev),
+                                       out.prev_sample.numpy(),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(x1),
+                                       out.pred_x1.numpy(),
+                                       rtol=1e-5, atol=1e-6)
+
+            ref._step_index = i
+            out2 = ref.step_no_update(torch.from_numpy(eps), ref.timesteps[i],
+                                      torch.from_numpy(x))
+            assert ref._step_index == i        # index NOT advanced
+            prev2, x12 = step_no_update(ours, i, jnp.asarray(eps),
+                                        jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(prev2),
+                                       out2.prev_sample.numpy(),
+                                       rtol=1e-5, atol=1e-6)
+
+            ref._step_index = i
+            out3 = ref.step_final(torch.from_numpy(eps), ref.timesteps[i],
+                                  torch.from_numpy(x))
+            x13 = step_final(ours, i, jnp.asarray(eps), jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(x13), out3.numpy(),
+                                       rtol=1e-5, atol=1e-6)
