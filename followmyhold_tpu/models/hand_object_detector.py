@@ -159,8 +159,10 @@ def decode_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     cy = dy * ha + cya
     w = jnp.exp(jnp.clip(dw, -5, 5)) * wa
     h = jnp.exp(jnp.clip(dh, -5, 5)) * ha
+    # this fork's bbox_transform_inv does NOT subtract 1 at x2/y2 (unlike
+    # py-faster-rcnn): corners are symmetric around the center
     return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
-                      cx + 0.5 * w - 1.0, cy + 0.5 * h - 1.0], axis=-1)
+                      cx + 0.5 * w, cy + 0.5 * h], axis=-1)
 
 
 class HandObjectDetector(nn.Module):

@@ -660,3 +660,34 @@ def test_hamer_camera_math_matches_reference(torch):
         jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(f2),
         jnp.asarray(cc)))
     np.testing.assert_allclose(ours_uv, ref_uv, rtol=1e-4, atol=1e-4)
+
+
+def test_frcnn_bbox_transform_matches_reference(torch):
+    """decode_deltas vs the reference's bbox_transform_inv
+    (lib/model/rpn/bbox_transform.py) — the box-decode math every detector
+    output passes through."""
+    import importlib.util
+
+    oracles._install_stubs()
+    path = os.path.join(
+        oracles.REFERENCE,
+        "third_party/estimator/hand_object_detector/lib/model/rpn/"
+        "bbox_transform.py")
+    spec = importlib.util.spec_from_file_location("ref_bbox", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from followmyhold_tpu.models.hand_object_detector import decode_deltas
+
+    rng = np.random.default_rng(6)
+    n = 64
+    x1 = rng.uniform(0, 500, n)
+    y1 = rng.uniform(0, 400, n)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(5, 200, n),
+                      y1 + rng.uniform(5, 200, n)], -1).astype(np.float32)
+    deltas = rng.normal(0, 0.3, (n, 4)).astype(np.float32)
+
+    ref_out = ref.bbox_transform_inv(torch.from_numpy(boxes)[None],
+                                     torch.from_numpy(deltas)[None], 1)
+    ours = np.asarray(decode_deltas(jnp.asarray(boxes), jnp.asarray(deltas)))
+    np.testing.assert_allclose(ours, ref_out[0].numpy(), rtol=1e-4, atol=1e-3)
