@@ -691,3 +691,24 @@ def test_frcnn_bbox_transform_matches_reference(torch):
                                      torch.from_numpy(deltas)[None], 1)
     ours = np.asarray(decode_deltas(jnp.asarray(boxes), jnp.asarray(deltas)))
     np.testing.assert_allclose(ours, ref_out[0].numpy(), rtol=1e-4, atol=1e-3)
+
+
+def test_frcnn_generate_anchors_matches_reference(torch):
+    """generate_anchors vs the reference's numpy implementation at the
+    detector's configured scales/ratios."""
+    import importlib.util
+
+    path = os.path.join(
+        oracles.REFERENCE,
+        "third_party/estimator/hand_object_detector/lib/model/rpn/"
+        "generate_anchors.py")
+    spec = importlib.util.spec_from_file_location("ref_anchors", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from followmyhold_tpu.models.hand_object_detector import generate_anchors
+
+    ref_a = ref.generate_anchors(base_size=16, ratios=[0.5, 1, 2],
+                                 scales=np.asarray([4, 8, 16, 32]))
+    ours = np.asarray(generate_anchors(16, (0.5, 1.0, 2.0), (4, 8, 16, 32)))
+    np.testing.assert_allclose(ours, ref_a, atol=1e-5)
