@@ -158,6 +158,34 @@ def install_diffusers_stub():
         sys.modules[name] = mod
 
 
+def import_reference_pipelines():
+    """-> the reference's patched pipelines module (guidance math fns only —
+    model classes need real pytorch3d/kaolin and stay unusable)."""
+    global _STUBS
+    _STUBS = tuple(_STUBS) + ("pytorch3d", "kaolin", "kiui", "utilz")
+    _install_stubs()
+    install_diffusers_stub()
+    import importlib.util
+
+    import torch
+
+    tu = sys.modules.get("diffusers.utils.torch_utils")
+    if tu is None:
+        import types
+
+        tu = types.ModuleType("diffusers.utils.torch_utils")
+        tu.randn_tensor = lambda *a, **k: torch.randn(*a)
+        sys.modules["diffusers.utils"].torch_utils = tu
+        sys.modules["diffusers.utils.torch_utils"] = tu
+
+    path = os.path.join(
+        REFERENCE, "third_party_patches/hy3dgen/shapegen/pipelines.py")
+    spec = importlib.util.spec_from_file_location("ref_pipelines", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def import_reference_scheduler():
     """-> the reference's patched FlowMatchEulerDiscreteScheduler module."""
     _install_stubs()

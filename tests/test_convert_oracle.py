@@ -712,3 +712,71 @@ def test_frcnn_generate_anchors_matches_reference(torch):
                                  scales=np.asarray([4, 8, 16, 32]))
     ours = np.asarray(generate_anchors(16, (0.5, 1.0, 2.0), (4, 8, 16, 32)))
     np.testing.assert_allclose(ours, ref_a, atol=1e-5)
+
+
+def test_guidance_math_matches_reference_pipelines(torch):
+    """Core guidance math vs the reference's patched pipelines.py, imported
+    directly: grid convention, MANO->OpenPose keypoints, normal-alignment
+    loss, and the around-center scale/rotate/translate transform."""
+    ref = oracles.import_reference_pipelines()
+
+    from followmyhold_tpu.models.mano import mano_vert_to_3dkps
+    from followmyhold_tpu.ops.grid import generate_dense_grid_points
+    from followmyhold_tpu.ops.losses import normal_alignment_loss
+    from followmyhold_tpu.ops.transforms import transform_around_center_w_scale
+
+    rng = np.random.default_rng(8)
+
+    # grid convention (pipelines.py:341-360)
+    xyz_r, size_r, length_r = ref.generate_dense_grid_points(
+        np.asarray([-1.1] * 3), np.asarray([1.1] * 3), octree_depth=6,
+        octree_resolution=16)
+    xyz_o, size_o, length_o = generate_dense_grid_points(
+        [-1.1] * 3, [1.1] * 3, 16)
+    np.testing.assert_allclose(np.asarray(xyz_o), xyz_r, atol=1e-6)
+    assert list(size_o) == list(size_r)
+
+    # MANO keypoints (pipelines.py:121-135)
+    verts = rng.normal(0, 0.1, (778, 3)).astype(np.float32)
+    jreg = rng.uniform(0, 1, (16, 778)).astype(np.float32)
+    jreg /= jreg.sum(1, keepdims=True)
+
+    class _Mesh:
+        def verts_packed(self):
+            return torch.from_numpy(verts)
+
+        def verts_padded(self):
+            return torch.from_numpy(verts)[None]
+
+        def update_padded(self, v):
+            return v[0]
+
+    ref_kps = ref.mano_vert_to_3dkps(_Mesh(), torch.from_numpy(jreg),
+                                     "cpu").numpy()
+    ours_kps = np.asarray(mano_vert_to_3dkps(jnp.asarray(verts),
+                                             jnp.asarray(jreg)))
+    np.testing.assert_allclose(ours_kps, ref_kps, atol=1e-6)
+
+    # normal alignment loss (pipelines.py:178-186)
+    n1 = rng.normal(0, 1, (32, 32, 3)).astype(np.float32)
+    n2 = rng.normal(0, 1, (32, 32, 3)).astype(np.float32)
+    mask = rng.uniform(size=(32, 32)) > 0.5
+    ref_l = float(ref.normal_alignment_loss(torch.from_numpy(n1),
+                                            torch.from_numpy(n2),
+                                            torch.from_numpy(mask)))
+    ours_l = float(normal_alignment_loss(jnp.asarray(n1), jnp.asarray(n2),
+                                         jnp.asarray(mask)))
+    np.testing.assert_allclose(ours_l, ref_l, rtol=1e-5)
+
+    # around-center transform (pipelines.py:108-118)
+    T = np.eye(4, dtype=np.float32)
+    ang = 0.7
+    T[:3, :3] = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                            [np.sin(ang), np.cos(ang), 0],
+                            [0, 0, 1]], np.float32)
+    T[:3, 3] = [0.1, -0.2, 0.05]
+    ref_v = ref.transform_mesh_around_center_w_scale(
+        _Mesh(), torch.from_numpy(T), 1.3).numpy()
+    ours_v = np.asarray(transform_around_center_w_scale(
+        jnp.asarray(verts), jnp.asarray(T), jnp.asarray(1.3)))
+    np.testing.assert_allclose(ours_v, ref_v, atol=1e-5)
