@@ -557,6 +557,8 @@ class GuidedSampler:
                     debug.log_loss(f"{tag} final: loss {arr[-1]:.6f}")
                 if renders is not None:
                     for name, stack in renders.items():
+                        if name == "hier_cells":
+                            continue      # scalar diag channel, not a render
                         s = np.asarray(stack)
                         sel = np.arange(0, len(s), 10)
                         debug.dump_array(f"{tag}_{name}_grid.npy", s[sel])
@@ -651,6 +653,13 @@ class GuidedSampler:
 
         def log_phase(tag, losses, renders):
             loss_log[tag] = losses
+            if renders is not None and "hier_cells" in renders:
+                worst = int(np.asarray(renders["hier_cells"]).max())
+                if worst > self.inloop_cell_cap:
+                    print(f"WARNING: in-loop hier decode cell overflow at "
+                          f"{tag} (batched): {worst}/{self.inloop_cell_cap} "
+                          f"— missed cells kept interpolated values; raise "
+                          f"inloop_cell_cap")
             if not debugs:
                 return
             arr = np.asarray(losses)                    # [B, iters]
@@ -661,6 +670,8 @@ class GuidedSampler:
                     dbg.log_loss(f"{tag} iter {it}: loss {arr[b, it]:.6f}")
                 dbg.log_loss(f"{tag} final: loss {arr[b, -1]:.6f}")
                 for name, stack in renders.items():
+                    if name == "hier_cells":
+                        continue          # scalar diag channel, not a render
                     s = np.asarray(stack[b])
                     dbg.dump_array(f"{tag}_{name}_grid.npy",
                                    s[np.arange(0, len(s), 10)])
@@ -767,15 +778,16 @@ class GuidedSampler:
             from followmyhold_tpu.ops.surface import marching_tets_host
 
             # sparse two-level decode: the dense 385^3 decode is ~38 s/image
-            g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
-                self.vae, self.box_v, res, chunk=self.vae_chunk)(
-                    vae_params, result.latents)
-            sdf = -compose_hierarchical_grid(g_c, cell_ids, fine, res)
             from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP
-            if int(n_sel) > EXPORT_CELL_CAP:
+
+            cap = EXPORT_CELL_CAP
+            g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
+                self.vae, self.box_v, res, chunk=self.vae_chunk,
+                cell_cap=cap)(vae_params, result.latents)
+            sdf = -compose_hierarchical_grid(g_c, cell_ids, fine, res)
+            if int(n_sel) > cap:
                 print(f"WARNING: hierarchical decode cell overflow: "
-                      f"{int(n_sel)}/{EXPORT_CELL_CAP} surface cells — "
-                      f"raise cell_cap")
+                      f"{int(n_sel)}/{cap} surface cells — raise cell_cap")
             hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
                                         [self.box_v] * 3, res)
             cap_v = max(len(hv), 1)

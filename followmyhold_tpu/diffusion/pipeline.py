@@ -92,11 +92,13 @@ def latents_to_mesh(
 
         # two-level decode: only surface cells are evaluated at full
         # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x)
+        from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP as cap
+
         g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
-            vae, box_v, octree_resolution, chunk=chunk)(vae_params, latents)
+            vae, box_v, octree_resolution, chunk=chunk, cell_cap=cap)(
+                vae_params, latents)
         sdf = -compose_hierarchical_grid(g_c, cell_ids, fine,
                                          octree_resolution)
-        from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP as cap
         if int(n_sel) > cap:
             print(f"WARNING: hierarchical decode cell overflow: "
                   f"{int(n_sel)}/{cap} surface cells — raise cell_cap")

@@ -112,8 +112,15 @@ def install_diffusers_stub():
     """Functional diffusers shims for the reference's patched scheduler
     (third_party_patches/hy3dgen/shapegen/schedulers.py): ConfigMixin with a
     working register_to_config, plus SchedulerMixin/BaseOutput/logging."""
+    import importlib.util
+
     if "diffusers" in sys.modules and not isinstance(
             sys.modules["diffusers"], _AutoModule):
+        return
+    # never shadow a REAL installed package (same guard as _install_stubs;
+    # a skeleton stub in sys.modules would break later real imports)
+    if "diffusers" not in sys.modules and \
+            importlib.util.find_spec("diffusers") is not None:
         return
     import functools
     import inspect
