@@ -122,10 +122,10 @@ def main() -> None:
                             max_verts=32768, max_faces=65536, vae_chunk=8192,
                             raster_faces_per_tile=8192,
                             inloop_coarse_factor=int(
-                                os.environ.get("FOHO_INLOOP_CF", "0")),
+                                os.environ.get("FOHO_INLOOP_CF", "2")),
                             inloop_cell_cap=int(
                                 os.environ.get("FOHO_INLOOP_CAP", "6144")),
-                            vae_remat=os.environ.get("FOHO_VAE_REMAT", "full"))
+                            vae_remat=os.environ.get("FOHO_VAE_REMAT", "tail"))
 
     key = jax.random.key(0)
     latents = jax.random.normal(key, (1, num_latents, vae_cfg.embed_dim))

@@ -293,12 +293,22 @@ class GuidedSampler:
     hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less
     final_octree_resolution: Optional[int] = None  # None -> config value
     # in-loop two-level decode (0 = dense); cap sized for 65^3: crossing
-    # cells ~3k of 32^3 at cf=2, margin-selected ~1.5-2x that
-    inloop_coarse_factor: int = 0
+    # cells ~3k of 32^3 at cf=2, margin-selected ~1.5-2x that. Default ON:
+    # measured on v5e (2026-08-18, same-session dense baseline) joint iter
+    # 629->442 ms / obj 554->363 ms with cap 6144 + remat='tail'; value- and
+    # gradient-exact vs dense where marching tets emits geometry
+    # (tests/test_hierarchical_decode.py). cap 4096 + tail is ~10% faster
+    # still (joint 395.8 ms) but can truncate box-filling objects
+    # (margin-selected cells reach ~6k) — truncation hits EVERY iteration,
+    # so the default stays at the safe capacity.
+    inloop_coarse_factor: int = 2
     inloop_cell_cap: int = 6144
     # geo-query remat granularity: 'full' | 'tail' | 'none' (see
-    # vae_query_logits docstring; 'tail' skips the flash-fwd re-run in bwd)
-    vae_remat: str = "full"
+    # vae_query_logits docstring; 'tail' skips the flash-fwd re-run in bwd).
+    # 'tail' measured SLOWER with the dense 65^3 decode (residual HBM writes
+    # beat the flash re-run) but WINS under the two-level decode's smaller
+    # query sets (joint 487->442 ms)
+    vae_remat: str = "tail"
 
     # ------------------------------------------------------------------ #
 

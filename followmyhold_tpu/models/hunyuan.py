@@ -621,6 +621,9 @@ def vae_query_logits_hier_grid(
     assert latents.shape[0] == 1, "in-loop decode is per-image (vmap batches)"
     cf = coarse_factor
     res_c = resolution // cf
+    # a cap above the total cell count only pads the refine query set
+    # (tiny test grids would otherwise query cap*19 mostly-duplicate points)
+    cell_cap = min(cell_cap, res_c ** 3)
     n_c, n_f = res_c + 1, resolution + 1
     lo = jnp.asarray(bbox_min, jnp.float32)
     hi = jnp.asarray(bbox_max, jnp.float32)
