@@ -165,12 +165,13 @@ def _decode_object(
 ):
     """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid.
 
-    hier_cf > 0 switches the dense 65^3 decode to the two-level
+    hier_cf > 1 switches the dense 65^3 decode to the two-level
     coarse+refine decode (vae_query_logits_hier_grid): value- and
     gradient-exact wherever marching tets emits geometry, ~1.9x fewer geo
-    queries per iteration."""
+    queries per iteration. hier_cf in (0, 1) is the dense decode (cf=1
+    has an empty refine set — coarse IS the fine lattice)."""
     x1 = step_final(sched, step_i, noise_pred, latents)
-    if hier_cf:
+    if hier_cf > 1:
         logits, n_sel = vae_query_logits_hier_grid(
             vae, vae_params, x1, bbox[0], bbox[1], octree_res, chunk,
             coarse_factor=hier_cf, cell_cap=hier_cap, remat=remat)

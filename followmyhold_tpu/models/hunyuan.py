@@ -617,6 +617,7 @@ def vae_query_logits_hier_grid(
     means missed cells keep interpolated (sign-correct, value-approximate)
     background values — monitor like export's capacity check.
     """
+    assert coarse_factor >= 2, "cf=1 has an empty refine set; use the dense decode"
     assert resolution % coarse_factor == 0
     assert latents.shape[0] == 1, "in-loop decode is per-image (vmap batches)"
     cf = coarse_factor
