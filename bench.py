@@ -124,7 +124,7 @@ def main() -> None:
                             inloop_coarse_factor=int(
                                 os.environ.get("FOHO_INLOOP_CF", "2")),
                             inloop_cell_cap=int(
-                                os.environ.get("FOHO_INLOOP_CAP", "6144")),
+                                os.environ.get("FOHO_INLOOP_CAP", "8192")),
                             vae_remat=os.environ.get("FOHO_VAE_REMAT", "tail"))
 
     key = jax.random.key(0)

@@ -161,7 +161,7 @@ def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
 def _decode_object(
     vae: ShapeVAE, vae_params, sched: FlowMatchSchedule, step_i,
     noise_pred, latents, xyz, bbox, octree_res, max_verts, max_faces, chunk,
-    hier_cf: int = 0, hier_cap: int = 6144, remat: str = "full",
+    hier_cf: int = 0, hier_cap: int = 8192, remat: str = "full",
 ):
     """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid.
 
@@ -303,7 +303,7 @@ class GuidedSampler:
     # (margin-selected cells reach ~6k) — truncation hits EVERY iteration,
     # so the default stays at the safe capacity.
     inloop_coarse_factor: int = 2
-    inloop_cell_cap: int = 6144
+    inloop_cell_cap: int = 8192
     # geo-query remat granularity: 'full' | 'tail' | 'none' (see
     # vae_query_logits docstring; 'tail' skips the flash-fwd re-run in bwd).
     # 'tail' measured SLOWER with the dense 65^3 decode (residual HBM writes
