@@ -124,7 +124,7 @@ def main() -> None:
                             inloop_coarse_factor=int(
                                 os.environ.get("FOHO_INLOOP_CF", "2")),
                             inloop_cell_cap=int(
-                                os.environ.get("FOHO_INLOOP_CAP", "8192")),
+                                os.environ.get("FOHO_INLOOP_CAP", "10240")),
                             vae_remat=os.environ.get("FOHO_VAE_REMAT", "tail"))
 
     key = jax.random.key(0)
@@ -392,11 +392,11 @@ def main() -> None:
                                            chunk=sampler.vae_chunk)
 
         def decode():
-            g_c, cell_ids, fine, _ = decode_fn(vae_params, latents)
+            g_c, fine, _, n_pts = decode_fn(vae_params, latents)
             # the D2H transfer + host compose are part of the real cost
             return compose_hierarchical_grid(np.asarray(g_c),
-                                             np.asarray(cell_ids),
-                                             np.asarray(fine), res)
+                                             np.asarray(fine), res,
+                                             expect_n_pts=int(n_pts))
 
         # note: random weights give a noise field, so the surface-cell cap
         # saturates — the measured cost is the cap-limited (= worst-case
@@ -474,8 +474,8 @@ def emit() -> None:
           file=sys.stderr)
     if est > 0 and est != float("inf"):
         print(f"# dp=8 projection (batched guidance, v5e-8; host extract "
-              f"assumed threaded across images): {est / 8:.1f} s/image",
-              file=sys.stderr)
+              f"threaded across images — guidance/run.py run_batch_images "
+              f"export pool): {est / 8:.1f} s/image", file=sys.stderr)
     if est <= 0:
         est = float("inf")
     payload = {

@@ -337,8 +337,34 @@ def main() -> None:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--scheduler_config", default=None,
+                        help="path to the checkpoint's scheduler config "
+                             "(JSON or YAML with a `shift` key); saved next "
+                             "to the params so every sampler honors it "
+                             "(reference schedulers.py:199-202)")
     args = parser.parse_args()
     ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=True)
+    sched_cfg = ckpt.get("scheduler_config") if isinstance(ckpt, dict) else None
+    if args.scheduler_config:
+        import json
+
+        with open(args.scheduler_config) as f:
+            text = f.read()
+        try:
+            sched_cfg = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+
+            sched_cfg = yaml.safe_load(text)
+        # hy3dgen config.yaml nests scheduler params under scheduler.params
+        if "shift" not in sched_cfg and "scheduler" in sched_cfg:
+            sched_cfg = sched_cfg["scheduler"].get("params", sched_cfg["scheduler"])
+    if sched_cfg:
+        from followmyhold_tpu.utils.params import save_scheduler_config
+
+        print("saved ->", save_scheduler_config(
+            {k: v for k, v in dict(sched_cfg).items()
+             if isinstance(v, (int, float, str, bool))}))
     dit_params, r1 = convert_dit({k: v.numpy() for k, v in ckpt["model"].items()})
     print("dit:", r1.summary())
     vae_params, r2 = convert_vae({k: v.numpy() for k, v in ckpt["vae"].items()})

@@ -161,7 +161,7 @@ def _hand_render_losses(verts, targets, camera, raster_kw, with_sil):
 def _decode_object(
     vae: ShapeVAE, vae_params, sched: FlowMatchSchedule, step_i,
     noise_pred, latents, xyz, bbox, octree_res, max_verts, max_faces, chunk,
-    hier_cf: int = 0, hier_cap: int = 8192, remat: str = "full",
+    hier_cf: int = 0, hier_cap: int = 10240, remat: str = "full",
 ):
     """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid.
 
@@ -293,25 +293,35 @@ class GuidedSampler:
     raster_faces_per_tile: int = 8192
     hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less
     final_octree_resolution: Optional[int] = None  # None -> config value
-    # in-loop two-level decode (0 = dense); cap sized for 65^3: crossing
-    # cells ~3k of 32^3 at cf=2, margin-selected ~1.5-2x that. Default ON:
-    # measured on v5e (2026-08-18, same-session dense baseline) joint iter
-    # 629->442 ms / obj 554->363 ms with cap 6144 + remat='tail'; value- and
-    # gradient-exact vs dense where marching tets emits geometry
-    # (tests/test_hierarchical_decode.py). cap 4096 + tail is ~10% faster
-    # still (joint 395.8 ms) but can truncate box-filling objects
-    # (margin-selected cells reach ~6k) — truncation hits EVERY iteration,
-    # so the default stays at the safe capacity.
+    # in-loop two-level decode (0 = dense). Default ON: measured on v5e
+    # (2026-08-19, dense same-session baseline obj 447/joint 510 ms) the
+    # refine-point-DEDUPED decode at cap 8192 + remat='tail' gives obj
+    # 318.6 / joint 391.2 ms; value- and gradient-exact vs dense where
+    # marching tets emits geometry (tests/test_hierarchical_decode.py).
+    # Cap sizing: the CPU capacity sweep at coarse 33^3, pf=0.5 selects
+    # sphere r0.8 = 5176, wavy = 5004, ripple = 6092, box = 8128,
+    # box-filling sphere = 8800 cells — 10240 covers the measured worst
+    # case with margin (8192 truncated box-filling spheres EVERY iteration;
+    # post-dedup the cost slope per +1024 cells is small — see CLAUDE.md
+    # r4 TPU notes).
     inloop_coarse_factor: int = 2
-    inloop_cell_cap: int = 8192
+    inloop_cell_cap: int = 10240
     # geo-query remat granularity: 'full' | 'tail' | 'none' (see
     # vae_query_logits docstring; 'tail' skips the flash-fwd re-run in bwd).
     # 'tail' measured SLOWER with the dense 65^3 decode (residual HBM writes
     # beat the flash re-run) but WINS under the two-level decode's smaller
     # query sets (joint 487->442 ms)
     vae_remat: str = "tail"
+    # checkpoint scheduler_config shift: the reference applies it to the
+    # linspace(0,1) sigmas inside set_timesteps (schedulers.py:199-202) —
+    # a checkpoint shipping shift != 1 changes every guided step
+    scheduler_shift: float = 1.0
 
     # ------------------------------------------------------------------ #
+
+    def _schedule(self, n: int) -> FlowMatchSchedule:
+        return make_schedule(sigmas=np.linspace(0, 1, n),
+                             shift=self.scheduler_shift)
 
     def _grid(self):
         res = self.config.octree_resolution
@@ -549,7 +559,7 @@ class GuidedSampler:
     ) -> GuidanceResult:
         cfg = self.config
         n = cfg.num_inference_steps
-        sched = make_schedule(sigmas=np.linspace(0, 1, n))
+        sched = self._schedule(n)
         latents = jax.random.normal(key, (1, *latent_shape), jnp.float32)
         hand, obj = init_pose(), init_pose()
         cond_cat = jnp.concatenate([cond_main, uncond_main], axis=0)
@@ -576,10 +586,13 @@ class GuidedSampler:
             if renders is not None and "hier_cells" in renders:
                 worst = int(np.asarray(renders["hier_cells"]).max())
                 if worst > self.inloop_cell_cap:
-                    print(f"WARNING: in-loop hier decode cell overflow at "
-                          f"{tag}: {worst}/{self.inloop_cell_cap} — missed "
-                          f"cells kept interpolated values; raise "
-                          f"inloop_cell_cap")
+                    # hier_cells is max(n_cells, scaled point count), so the
+                    # printed figure may be either capacity — both are fixed
+                    # by raising inloop_cell_cap (point cap = 9*cell cap)
+                    print(f"WARNING: in-loop hier decode capacity overflow "
+                          f"(cells or refine points) at {tag}: "
+                          f"{worst}/{self.inloop_cell_cap} — missed points "
+                          f"kept interpolated values; raise inloop_cell_cap")
 
         loss_log: dict = {}
         noise_pred = jnp.zeros_like(latents)
@@ -641,7 +654,7 @@ class GuidedSampler:
         cfg = self.config
         n = cfg.num_inference_steps
         B = cond_main.shape[0]
-        sched = make_schedule(sigmas=np.linspace(0, 1, n))
+        sched = self._schedule(n)
         latents = jax.vmap(
             lambda k: jax.random.normal(k, (1, *latent_shape), jnp.float32)
         )(keys)
@@ -789,16 +802,22 @@ class GuidedSampler:
             from followmyhold_tpu.ops.surface import marching_tets_host
 
             # sparse two-level decode: the dense 385^3 decode is ~38 s/image
-            from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP
+            from followmyhold_tpu.models.hunyuan import (
+                EXPORT_CELL_CAP,
+                _refine_point_budget,
+            )
 
             cap = EXPORT_CELL_CAP
-            g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
+            g_c, fine, n_sel, n_pts = hierarchical_decode_fn(
                 self.vae, self.box_v, res, chunk=self.vae_chunk,
                 cell_cap=cap)(vae_params, result.latents)
-            sdf = -compose_hierarchical_grid(g_c, cell_ids, fine, res)
-            if int(n_sel) > cap:
-                print(f"WARNING: hierarchical decode cell overflow: "
-                      f"{int(n_sel)}/{cap} surface cells — raise cell_cap")
+            sdf = -compose_hierarchical_grid(g_c, fine, res, cell_cap=cap,
+                                             expect_n_pts=int(n_pts))
+            pt_cap = _refine_point_budget(4) * cap
+            if int(n_sel) > cap or int(n_pts) > pt_cap:
+                print(f"WARNING: hierarchical decode capacity overflow: "
+                      f"{int(n_sel)}/{cap} surface cells, "
+                      f"{int(n_pts)}/{pt_cap} refine points — raise cell_cap")
             hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
                                         [self.box_v] * 3, res)
             cap_v = max(len(hv), 1)

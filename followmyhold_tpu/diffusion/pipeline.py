@@ -38,10 +38,16 @@ def denoise_latents(
     num_inference_steps: int = 30,
     guidance_scale: float = 7.5,
     initial_noise: Optional[jnp.ndarray] = None,  # [B, *latent_shape]
+    scheduler_shift: float = 1.0,
 ) -> jnp.ndarray:
-    """The 30-step CFG sampling loop (pipelines.py:961-984) as lax.scan."""
+    """The 30-step CFG sampling loop (pipelines.py:961-984) as lax.scan.
+
+    scheduler_shift is the checkpoint scheduler_config's shift, applied to
+    the linspace sigmas exactly as the reference's set_timesteps does
+    (schedulers.py:199-202)."""
     B = cond_main.shape[0]
-    sched = make_schedule(sigmas=np.linspace(0, 1, num_inference_steps))
+    sched = make_schedule(sigmas=np.linspace(0, 1, num_inference_steps),
+                          shift=scheduler_shift)
     if initial_noise is not None:
         latents = initial_noise
     else:
@@ -91,17 +97,22 @@ def latents_to_mesh(
         from followmyhold_tpu.ops.surface import marching_tets_host
 
         # two-level decode: only surface cells are evaluated at full
-        # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x)
+        # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x,
+        # with refine points deduped across adjacent cells for another ~1.8x)
         from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP as cap
+        from followmyhold_tpu.models.hunyuan import _refine_point_budget
 
-        g_c, cell_ids, fine, n_sel = hierarchical_decode_fn(
+        g_c, fine, n_sel, n_pts = hierarchical_decode_fn(
             vae, box_v, octree_resolution, chunk=chunk, cell_cap=cap)(
                 vae_params, latents)
-        sdf = -compose_hierarchical_grid(g_c, cell_ids, fine,
-                                         octree_resolution)
-        if int(n_sel) > cap:
-            print(f"WARNING: hierarchical decode cell overflow: "
-                  f"{int(n_sel)}/{cap} surface cells — raise cell_cap")
+        sdf = -compose_hierarchical_grid(g_c, fine, octree_resolution,
+                                         cell_cap=cap,
+                                         expect_n_pts=int(n_pts))
+        pt_cap = _refine_point_budget(4) * cap
+        if int(n_sel) > cap or int(n_pts) > pt_cap:
+            print(f"WARNING: hierarchical decode capacity overflow: "
+                  f"{int(n_sel)}/{cap} surface cells, "
+                  f"{int(n_pts)}/{pt_cap} refine points — raise cell_cap")
         hv, hf = marching_tets_host(np.asarray(sdf), [-box_v] * 3,
                                     [box_v] * 3, octree_resolution)
         verts = jnp.asarray(hv if len(hv) else np.zeros((1, 3), np.float32))

@@ -100,7 +100,12 @@ def run(
     octree_resolution: int | None = None,
     guidance_scale: float = 7.5,
     project_root: str | None = None,  # CLI parity
+    scheduler_shift: float | None = None,  # None -> checkpoint scheduler cfg
 ) -> None:
+    if scheduler_shift is None:
+        from followmyhold_tpu.utils.params import scheduler_shift as _shift
+
+        scheduler_shift = _shift()
     if octree_resolution is None:
         from followmyhold_tpu.configs.profiles import hunyuan_octree_resolution
 
@@ -147,7 +152,8 @@ def run(
             dit, dit_params, jnp.stack(conds), jnp.stack(unconds), keys[0],
             latent_shape=(vae.cfg.num_latents, vae.cfg.embed_dim),
             num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale, initial_noise=noise)
+            guidance_scale=guidance_scale, initial_noise=noise,
+            scheduler_shift=scheduler_shift)
 
         for b, (_, image_id, out_path) in enumerate(group):
             mesh = latents_to_mesh(vae, vae_params, latents[b:b + 1],
@@ -173,10 +179,13 @@ def main() -> None:
     parser.add_argument("--save_dir", required=True)
     parser.add_argument("--project_root", default=None)
     parser.add_argument("--num_inference_steps", type=int, default=30)
+    parser.add_argument("--scheduler_shift", type=float, default=None,
+                        help="override the checkpoint scheduler_config shift")
     parser.add_argument("--octree_resolution", type=int, default=None)
     args = parser.parse_args()
     run(args.image_dir, args.save_dir, args.num_inference_steps,
-        args.octree_resolution, project_root=args.project_root)
+        args.octree_resolution, project_root=args.project_root,
+        scheduler_shift=args.scheduler_shift)
 
 
 if __name__ == "__main__":

@@ -6,12 +6,15 @@ image write {id}.npy (full outputs), {id}_kps_for_guidance.npy
 J_regressor dump the guidance stage loads (hamer.py:103-104).
 
 Detection front-end: the reference chains ViTDet person boxes -> ViTPose
-wholebody keypoints -> hand boxes (hand/hamer.py:117-176). Since this stage
-consumes the pipeline's own 512^2 HOI crops whose hand mask the preprocess
-stage already produced, the TPU build derives the hand box from
+wholebody keypoints -> hand boxes (hand/hamer.py:117-176). In pipeline mode
+this stage consumes the pipeline's own 512^2 HOI crops whose hand mask the
+preprocess stage already produced, so the hand box comes from
 {id}_cropped_hand_mask.png directly (whole image as fallback) — one jitted
-batch instead of three detector stacks. Handedness comes from the crop
-filename ({id}_cropped_hoi_{is_right}.png).
+batch instead of three detector stacks; handedness comes from the crop
+filename ({id}_cropped_hoi_{is_right}.png). In --multi_hand mode (raw,
+possibly multi-person frames) the full chain runs: GdinoPersonDetector
+person boxes (the documented ViTDet substitute) -> per-person ViTPose ->
+per-side NMS.
 
 Crop semantics match ViTDetDataset (vitdet_dataset.py:23-95): square box
 rescaled 2.5x, 256x256 patch, ImageNet normalization, horizontal flip for
@@ -108,6 +111,61 @@ def _hand_bbox_from_mask(mask_path: Optional[str], img_hw) -> np.ndarray:
         if len(xs) > 0:
             return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
     return np.array([0, 0, W - 1, H - 1], np.float32)
+
+
+class GdinoPersonDetector:
+    """Person-box source for raw multi-person frames.
+
+    The reference runs a detectron2 Cascade-ViTDet person detector before
+    ViTPose and keeps class-0 boxes with score > 0.5
+    (src/foho/hand/hamer.py:73-85, 120-123). Porting that 631M-parameter
+    stack would add a third detector family whose only role here is person
+    boxes — so this build substitutes the already-vendored GroundingDINO
+    (numerically validated end-to-end against the HF implementation in
+    tests/test_convert_oracle.py) prompted with "person." at the same 0.5
+    score threshold. Built only when converted 'gdino' weights exist;
+    without them the multi-hand path falls back to the whole frame."""
+
+    def __init__(self, model=None, params=None):
+        if model is None:
+            import jax.numpy as _jnp
+
+            from followmyhold_tpu.models.gdino import GDINO_BASE, GroundingDino
+
+            model = GroundingDino(GDINO_BASE)
+
+            def _init(k):
+                c = model.cfg
+                T = 8
+                return model.init(
+                    k,
+                    pixel_values=_jnp.zeros((1, c.image_size, c.image_size, 3)),
+                    input_ids=_jnp.zeros((1, T), jnp.int32),
+                    token_type_ids=_jnp.zeros((1, T), jnp.int32),
+                    text_self_attention_masks=_jnp.ones((1, T, T), bool),
+                    position_ids=_jnp.zeros((1, T), jnp.int32),
+                    text_token_mask=_jnp.ones((1, T), bool))
+
+            params = load_or_init("gdino", _init)
+        self.model = model
+        self.params = params
+
+    @classmethod
+    def maybe_build(cls) -> Optional["GdinoPersonDetector"]:
+        from followmyhold_tpu.utils.params import has_params
+
+        return cls() if has_params("gdino") else None
+
+    def person_boxes(self, img01: np.ndarray,
+                     score_thresh: float = 0.5) -> np.ndarray:
+        """[H,W,3] in [0,1] -> person boxes [N,4] xyxy in frame pixels,
+        descending score (reference keeps every person above 0.5)."""
+        from followmyhold_tpu.models.gdino import detect_text_prompt
+
+        boxes, _ = detect_text_prompt(
+            self.model, self.params, (img01 * 255).astype(np.uint8),
+            "person.", box_threshold=score_thresh)
+        return boxes
 
 
 class VitPoseFrontEnd:
@@ -324,6 +382,9 @@ def run(
         return
 
     pose_front = VitPoseFrontEnd.maybe_build()
+    # person detection only matters on raw (possibly multi-person) frames;
+    # pipeline crops already isolate the person region
+    person_det = GdinoPersonDetector.maybe_build() if multi_hand else None
 
     for img_path in images:
         image_id, is_right = parse_cropped_hoi_name(img_path)
@@ -341,8 +402,11 @@ def run(
         # 117-176); pipeline mode keeps one box for the crop's handedness
         instances = []
         if multi_hand and pose_front is not None:
+            pboxes = (person_det.person_boxes(img)
+                      if person_det is not None else None)
             instances = [(b, r) for b, _, r in
-                         collect_hand_candidates(img, pose_front)]
+                         collect_hand_candidates(img, pose_front,
+                                                 person_boxes=pboxes)]
         if not instances:
             box = None
             if pose_front is not None:

@@ -570,6 +570,48 @@ def _upsample_corner_aligned(g: jnp.ndarray, cf: int) -> jnp.ndarray:
     return g
 
 
+def _select_surface_cells(g_c3, res_c: int, pad_factor: float, xp):
+    """Flat bool [res_c^3] surface-cell mask from a coarse corner grid.
+
+    Shared by the device decodes (xp=jnp) and the host compose (xp=np): the
+    ops used (slice/stack/min/max/abs/mul/compare) are IEEE-f32 exact on both,
+    so the host reproduces the device's selection bit-for-bit from the same
+    g_c values (tested on adversarial random-VAE noise fields)."""
+    cs = xp.stack([g_c3[dx:dx + res_c, dy:dy + res_c, dz:dz + res_c]
+                   for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)])
+    cmin, cmax = cs.min(0), cs.max(0)
+    min_abs = xp.minimum(xp.abs(cmin), xp.abs(cmax))
+    spread = cmax - cmin
+    select = ((cmin <= 0) & (cmax >= 0)) | (min_abs < pad_factor * spread)
+    return select.reshape(-1)
+
+
+def _noncoarse_offsets(cf: int) -> np.ndarray:
+    """The (cf+1)^3 - 8 within-cell fine-lattice offsets that are NOT
+    coarse-aligned corners (those already carry exact level-1 values)."""
+    return np.array([(i, j, k)
+                     for i in range(cf + 1)
+                     for j in range(cf + 1)
+                     for k in range(cf + 1)
+                     if not (i % cf == 0 and j % cf == 0 and k % cf == 0)],
+                    np.int32)
+
+
+def _refine_point_budget(cf: int) -> int:
+    """Unique refine points per selected cell, with ~12.5% margin.
+
+    On a 2D surface shell each selected cell owns ~cf^3 unique non-coarse
+    points (interior (cf-1)^3 + half of 6 faces + quarter of 12 edges +
+    shared non-coarse corners telescopes to cf^3). Measured maxima on the
+    capacity-sweep fields (sphere/box/wavy/ripple/box-filling sphere):
+    8.73/cell at cf=2 (res 64) and 71.2/cell at cf=4 (res 384) — both under
+    the 9*cf^3/8 budget (9 at cf=2, 72 at cf=4). Isolated cells can own all
+    (cf+1)^3-8 points, but only on noise fields where the cell cap is
+    already saturated; overflow degrades to the interpolated background and
+    is reported by the caller-visible count."""
+    return (9 * cf ** 3) // 8
+
+
 def vae_query_logits_hier_grid(
     vae: ShapeVAE,
     params,
@@ -579,7 +621,7 @@ def vae_query_logits_hier_grid(
     resolution: int,
     chunk: int = 8192,
     coarse_factor: int = 2,
-    cell_cap: int = 8192,
+    cell_cap: int = 10240,
     pad_factor: float = 0.5,
     remat_chunks: bool = True,
     remat: Optional[str] = None,
@@ -643,14 +685,8 @@ def vae_query_logits_hier_grid(
     g_c3 = g_c.reshape(n_c, n_c, n_c)
 
     # ---- select surface cells (discrete; gradient-free) ----
-    sel_src = jax.lax.stop_gradient(g_c3)
-    cs = jnp.stack([sel_src[dx:dx + res_c, dy:dy + res_c, dz:dz + res_c]
-                    for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)])
-    cmin, cmax = cs.min(0), cs.max(0)
-    min_abs = jnp.minimum(jnp.abs(cmin), jnp.abs(cmax))
-    spread = cmax - cmin
-    select = ((cmin <= 0) & (cmax >= 0)) | (min_abs < pad_factor * spread)
-    select = select.reshape(-1)
+    select = _select_surface_cells(jax.lax.stop_gradient(g_c3), res_c,
+                                   pad_factor, jnp)
     n_sel = select.sum()
     (cell_ids,) = jnp.nonzero(select, size=cell_cap, fill_value=0)
     pad_row = jnp.arange(cell_cap) >= jnp.minimum(n_sel, cell_cap)
@@ -665,20 +701,14 @@ def vae_query_logits_hier_grid(
     cj = (cell_ids // res_c) % res_c
     ck = cell_ids % res_c
     base = jnp.stack([ci, cj, ck], -1) * cf                      # [K,3]
-    offs = np.array([(i, j, k)
-                     for i in range(cf + 1)
-                     for j in range(cf + 1)
-                     for k in range(cf + 1)
-                     if not (i % cf == 0 and j % cf == 0 and k % cf == 0)],
-                    np.int32)                                    # [(cf+1)^3-8,3]
+    offs = _noncoarse_offsets(cf)                                # [(cf+1)^3-8,3]
     fine_idx = base[:, None, :] + jnp.asarray(offs)[None]        # [K,P,3]
     flat_all = ((fine_idx[..., 0] * n_f + fine_idx[..., 1]) * n_f
                 + fine_idx[..., 2]).reshape(-1)
-    # 9 pts/cell covers every analytic field tested (max 8.73; isolated-cell
-    # worst case 19/cell only occurs on noise fields where the cell cap is
-    # already saturated); overflow degrades to the interpolated background
-    # exactly like cell overflow and is folded into the returned indicator
-    point_cap = min(9 * cell_cap, n_f ** 3)
+    # budget covers every analytic field tested (see _refine_point_budget);
+    # overflow degrades to the interpolated background exactly like cell
+    # overflow and is folded into the returned indicator
+    point_cap = min(_refine_point_budget(cf) * cell_cap, n_f ** 3)
     mark = jnp.zeros((n_f ** 3,), bool).at[flat_all].set(True)
     n_pts = mark.sum()
     (pt_ids,) = jnp.nonzero(mark, size=point_cap, fill_value=0)
@@ -758,14 +788,19 @@ def vae_query_logits_hierarchical(
     such objects, silently corrupting 40%% of crossing cells (2176 sign
     flips). Exactness needs n_selected <= cell_cap; the caller warns.
 
-    Returns (coarse_grid [n_c,n_c,n_c], cell_ids [cell_cap], fine_vals
-    [cell_cap, (cf+1)^3], n_selected): ~20 MB to transfer instead of the
-    228 MB dense grid (the D2H copy rides a slow remote-TPU tunnel here);
-    compose_hierarchical_grid() builds the dense-equivalent grid on host —
-    sign-exact away from the surface and value-exact at every refined cell,
-    so marching output matches the dense decode's. Compare n_selected to
-    cell_cap on the host; overflow degrades smoothly (missed cells keep
-    interpolated values) but warrants a bigger cap.
+    Returns (coarse_grid [n_c,n_c,n_c], refine_vals [point_cap], n_selected,
+    n_points): ~22 MB to transfer instead of the 228 MB dense grid (the D2H
+    copy rides a slow remote-TPU tunnel here). Refine-point ids are NOT
+    transferred: the host holds g_c bit-exact and recomputes the selection
+    and the ascending deduped point ids deterministically
+    (_select_surface_cells is shared jnp/np code; IEEE-f32 ops only), so
+    compose_hierarchical_grid() rebuilds the dense-equivalent grid from
+    values alone — sign-exact away from the surface and value-exact at every
+    refined cell, so marching output matches the dense decode's. Compare
+    n_selected to cell_cap and n_points to
+    _refine_point_budget(cf)*cell_cap on the host; overflow degrades
+    smoothly (missed cells keep interpolated values) but warrants a bigger
+    cap.
     """
     assert resolution % coarse_factor == 0
     assert latents.shape[0] == 1, "export decode is per-image"
@@ -787,49 +822,99 @@ def vae_query_logits_hierarchical(
     g_c = _geo_query_grouped(vae, params, kv, pts_c, chunk)[0]
     g_c = g_c.reshape(n_c, n_c, n_c)
 
-    # ---- select surface cells ----
-    def corners(g):
-        return jnp.stack([g[dx:dx + res_c, dy:dy + res_c, dz:dz + res_c]
-                          for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)])
-    cs = corners(g_c)                                  # [8, rc, rc, rc]
-    cmin, cmax = cs.min(0), cs.max(0)
-    min_abs = jnp.minimum(jnp.abs(cmin), jnp.abs(cmax))
-    spread = cmax - cmin
-    crosses = (cmin <= 0) & (cmax >= 0)
-    select = (crosses | (min_abs < pad_factor * spread)).reshape(-1)
+    # ---- select surface cells + deduped refine-point union ----
+    pt_ids, n_sel, n_pts = _refine_point_ids_device(
+        g_c, resolution, coarse_factor, cell_cap, pad_factor)
+    n_f = resolution + 1
+    fi = pt_ids // (n_f * n_f)
+    fj = (pt_ids // n_f) % n_f
+    fk = pt_ids % n_f
+    pts_f = lo + jnp.stack([fi, fj, fk], -1).astype(jnp.float32) * step_f
+    g_f = _geo_query_grouped(vae, params, kv,
+                             pts_f.reshape(1, -1, 3), chunk)[0]  # [point_cap]
+    return g_c, g_f, n_sel, n_pts
+
+
+def _refine_point_ids_device(g_c, resolution: int, coarse_factor: int,
+                             cell_cap: int, pad_factor: float):
+    """DEVICE refine-point ids for the export decode (jnp twin of
+    refine_point_ids_host; the host reproduces it bit-for-bit from g_c).
+
+    Adjacent selected cells share face/edge points and every cell's 8
+    corners are coarse-aligned (already decoded at level 1): querying all
+    (cf+1)^3 points per cell costs 125/cell at cf=4 where only ~70.5 are
+    unique (measured; see _refine_point_budget) — so mark the union on the
+    fine lattice and query each point ONCE (~1.8x fewer geo queries).
+    Returns (pt_ids [point_cap] ascending then zero-padded, n_sel, n_pts)."""
+    res_c = resolution // coarse_factor
+    n_f = resolution + 1
+    select = _select_surface_cells(g_c, res_c, pad_factor, jnp)
     n_sel = select.sum()
     (cell_ids,) = jnp.nonzero(select, size=cell_cap, fill_value=0)
-    # pad rows re-use cell 0's points (harmless: same values land twice)
+    # pad rows re-use cell 0's points (harmless: duplicates mark no new ones)
     pad_row = jnp.arange(cell_cap) >= jnp.minimum(n_sel, cell_cap)
     cell_ids = jnp.where(pad_row, cell_ids[0], cell_ids)
-
-    # ---- level 2: refine selected cells at full resolution ----
     ci = cell_ids // (res_c * res_c)
     cj = (cell_ids // res_c) % res_c
     ck = cell_ids % res_c
     base = jnp.stack([ci, cj, ck], -1) * coarse_factor          # [K,3] fine idx
-    off = jnp.arange(coarse_factor + 1)
-    OX, OY, OZ = jnp.meshgrid(off, off, off, indexing="ij")
-    offs = jnp.stack([OX, OY, OZ], -1).reshape(-1, 3)           # [(c+1)^3,3]
-    fine_idx = base[:, None, :] + offs[None]                    # [K,P,3]
-    pts_f = lo + fine_idx.astype(jnp.float32) * step_f
-    g_f = _geo_query_grouped(vae, params, kv,
-                             pts_f.reshape(1, -1, 3), chunk)[0]
-    return g_c, cell_ids, g_f.reshape(cell_cap, -1), n_sel
+    offs = _noncoarse_offsets(coarse_factor)
+    fine_idx = base[:, None, :] + jnp.asarray(offs)[None]       # [K,P,3]
+    flat_all = ((fine_idx[..., 0] * n_f + fine_idx[..., 1]) * n_f
+                + fine_idx[..., 2]).reshape(-1)
+    point_cap = min(_refine_point_budget(coarse_factor) * cell_cap, n_f ** 3)
+    mark = jnp.zeros((n_f ** 3,), bool).at[flat_all].set(True)
+    n_pts = mark.sum()
+    (pt_ids,) = jnp.nonzero(mark, size=point_cap, fill_value=0)
+    return pt_ids, n_sel, n_pts
 
 
-def compose_hierarchical_grid(g_c, cell_ids, fine_vals, resolution: int,
-                              coarse_factor: int = 4):
-    """HOST part of the two-level decode: corner-aligned trilinear upsample
-    of the coarse grid + exact overwrite of refined-cell values. numpy,
-    slice-vectorized (no gathers); ~1 s at 385^3."""
-    import numpy as np
-
+def refine_point_ids_host(g_c, resolution: int, coarse_factor: int = 4,
+                          cell_cap: int = EXPORT_CELL_CAP,
+                          pad_factor: float = 0.5) -> np.ndarray:
+    """HOST twin of the device's refine-point construction: ascending deduped
+    fine-lattice ids of the selected cells' non-coarse points, truncated at
+    the device's point_cap. Bit-exact vs the device because both derive from
+    the SAME g_c values through IEEE-f32-exact ops (tested on adversarial
+    random-VAE noise fields in test_hierarchical_decode.py)."""
     g_c = np.asarray(g_c, np.float32)
-    cell_ids = np.asarray(cell_ids)
-    fine_vals = np.asarray(fine_vals, np.float32)
     res_c = resolution // coarse_factor
     n_f = resolution + 1
+    cf = coarse_factor
+    select = _select_surface_cells(g_c, res_c, pad_factor, np)
+    ids = np.nonzero(select)[0][:cell_cap]
+    if ids.size == 0:
+        ids = np.zeros(1, np.int64)   # device pad rows mark cell 0's points
+    ci = ids // (res_c * res_c)
+    cj = (ids // res_c) % res_c
+    ck = ids % res_c
+    base = np.stack([ci, cj, ck], -1) * cf
+    offs = _noncoarse_offsets(cf).astype(np.int64)
+    fidx = base[:, None, :] + offs[None]
+    flat = ((fidx[..., 0] * n_f + fidx[..., 1]) * n_f + fidx[..., 2])
+    # dedup via a flat mark grid + flatnonzero (ascending unique ids, the
+    # exact twin of the device's scatter+nonzero): np.unique's sort over the
+    # 7.7M candidates measured ~10x slower than the 57M-bool mark pass
+    mark = np.zeros(n_f ** 3, bool)
+    mark[flat.reshape(-1)] = True
+    pt_ids = np.flatnonzero(mark)
+    point_cap = min(_refine_point_budget(cf) * cell_cap, n_f ** 3)
+    return pt_ids[:point_cap]
+
+
+def compose_hierarchical_grid(g_c, refine_vals, resolution: int,
+                              coarse_factor: int = 4,
+                              cell_cap: int = EXPORT_CELL_CAP,
+                              pad_factor: float = 0.5,
+                              expect_n_pts=None):
+    """HOST part of the two-level decode: corner-aligned trilinear upsample
+    of the coarse grid + exact overwrite of refined point values at the
+    host-recomputed ids (refine_point_ids_host). numpy, slice-vectorized
+    (no gathers); ~1 s at 385^3. cell_cap/pad_factor MUST match the device
+    call's. Pass the device's n_points as expect_n_pts to cross-check that
+    the host recomputation tracked the device selection (O(1) canary)."""
+    g_c = np.asarray(g_c, np.float32)
+    refine_vals = np.asarray(refine_vals, np.float32)
     cf = coarse_factor
 
     def up_axis(a):
@@ -846,19 +931,20 @@ def compose_hierarchical_grid(g_c, cell_ids, fine_vals, resolution: int,
     dense = g_c
     for _ in range(3):
         dense = np.moveaxis(up_axis(dense), 0, 2)
-    dense = np.ascontiguousarray(dense)
+    dense = np.ascontiguousarray(dense).reshape(-1)
 
-    ci = cell_ids // (res_c * res_c)
-    cj = (cell_ids // res_c) % res_c
-    ck = cell_ids % res_c
-    off = np.arange(cf + 1)
-    OX, OY, OZ = np.meshgrid(off, off, off, indexing="ij")
-    fx = (ci[:, None] * cf + OX.reshape(-1)[None])
-    fy = (cj[:, None] * cf + OY.reshape(-1)[None])
-    fz = (ck[:, None] * cf + OZ.reshape(-1)[None])
-    flat = (fx * n_f + fy) * n_f + fz
-    dense.reshape(-1)[flat.reshape(-1)] = fine_vals.reshape(-1)
-    return dense.reshape(-1)
+    pt_ids = refine_point_ids_host(g_c, resolution, cf, cell_cap, pad_factor)
+    if expect_n_pts is not None:
+        point_cap = min(_refine_point_budget(cf) * cell_cap,
+                        (resolution + 1) ** 3)
+        if min(int(expect_n_pts), point_cap) != pt_ids.size:
+            raise RuntimeError(
+                f"hierarchical compose: host recomputed {pt_ids.size} refine "
+                f"points but the device queried "
+                f"{min(int(expect_n_pts), point_cap)} — host/device "
+                f"selection diverged; refusing to scatter misaligned values")
+    dense[pt_ids] = refine_vals[: pt_ids.size]
+    return dense
 
 
 # ---------------------------------------------------------------------------

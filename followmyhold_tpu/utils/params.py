@@ -44,6 +44,38 @@ def has_params(name: str) -> bool:
     return os.path.exists(params_path(name))
 
 
+def scheduler_config(name: str = "hunyuan_scheduler") -> dict:
+    """Checkpoint scheduler config saved by the converter
+    (assets_root()/params/<name>.json), e.g. {"shift": 1.0}.
+
+    The reference applies the checkpoint scheduler_config's `shift` inside
+    set_timesteps even for the explicitly-passed linspace(0,1) sigmas
+    (schedulers.py:199-202), so a real checkpoint shipping shift != 1 must
+    reach every make_schedule call — both the HOI sampling stage and the
+    guided sampler read it from here."""
+    import json
+
+    path = os.path.join(assets_root(), "params", f"{name}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def save_scheduler_config(cfg: dict, name: str = "hunyuan_scheduler") -> str:
+    import json
+
+    path = os.path.join(assets_root(), "params", f"{name}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def scheduler_shift() -> float:
+    return float(scheduler_config().get("shift", 1.0))
+
+
 def fast_init(init_fn: Callable[..., Any], *args, seed: int = 0, scale: float = 0.02):
     """Build a param tree WITHOUT running the init forward pass.
 

@@ -165,6 +165,47 @@ def test_fourier_embed_shape():
     assert e.shape == (5, 3 * 9)
 
 
+def test_scheduler_shift_plumbing(tmp_path, monkeypatch):
+    """A checkpoint scheduler_config with shift != 1 must reach every
+    sampler (the reference applies config.shift inside set_timesteps even
+    for explicitly-passed sigmas — schedulers.py:199-202). Covers the
+    converter-saved config -> scheduler_shift() roundtrip, the guided
+    sampler's schedule, and the HOI-stage denoise loop."""
+    monkeypatch.setenv("FOHO_TPU_ASSETS", str(tmp_path))
+    from followmyhold_tpu.utils import params as P
+
+    assert P.scheduler_shift() == 1.0        # no config saved -> default
+    P.save_scheduler_config({"shift": 3.0})
+    assert P.scheduler_shift() == 3.0
+
+    from followmyhold_tpu.diffusion.guidance import GuidedSampler
+
+    sampler = GuidedSampler(dit=None, vae=None, camera=None,
+                            scheduler_shift=P.scheduler_shift())
+    sched = sampler._schedule(10)
+    s_in = np.linspace(0, 1, 10)
+    np.testing.assert_allclose(np.asarray(sched.sigmas)[:10],
+                               3.0 * s_in / (1 + 2.0 * s_in), rtol=1e-6)
+    base = GuidedSampler(dit=None, vae=None, camera=None)._schedule(10)
+    assert not np.allclose(np.asarray(sched.sigmas)[:10],
+                           np.asarray(base.sigmas)[:10])
+
+    # HOI-stage loop: shift must change the sampled latents
+    from followmyhold_tpu.diffusion.pipeline import denoise_latents
+
+    model = HunyuanDiT(DIT_TINY)
+    cond = jnp.ones((1, 4, 32)) * 0.1
+    uncond = jnp.zeros((1, 4, 32))
+    params = model.init(jax.random.key(0), jnp.ones((2, 16, 64)),
+                        jnp.asarray([0.3, 0.3]), jnp.concatenate([cond, uncond]))
+    kw = dict(latent_shape=(16, 64), num_inference_steps=4)
+    lat1 = denoise_latents(model, params, cond, uncond, jax.random.key(1),
+                           scheduler_shift=1.0, **kw)
+    lat3 = denoise_latents(model, params, cond, uncond, jax.random.key(1),
+                           scheduler_shift=3.0, **kw)
+    assert not np.allclose(np.asarray(lat1), np.asarray(lat3))
+
+
 def test_scheduler_matches_reference_torch():
     """Direct oracle vs the reference's patched scheduler file
     (third_party_patches/hy3dgen/shapegen/schedulers.py), not just
@@ -202,6 +243,18 @@ def test_scheduler_matches_reference_torch():
                                    ref.sigmas.numpy(), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(ours.timesteps),
                                    ref.timesteps.numpy(), rtol=1e-5, atol=1e-4)
+
+        # explicit-sigmas path (what the guided sampler + HOI stage use):
+        # the reference applies config.shift to the PASSED sigmas too
+        # (schedulers.py:199-202)
+        ref_e = ref_mod.FlowMatchEulerDiscreteScheduler(shift=shift)
+        ref_e.set_timesteps(sigmas=np.linspace(0, 1, 20))
+        ours_e = make_schedule(sigmas=np.linspace(0, 1, 20), shift=shift)
+        np.testing.assert_allclose(np.asarray(ours_e.sigmas),
+                                   ref_e.sigmas.numpy(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ours_e.timesteps),
+                                   ref_e.timesteps.numpy(), rtol=1e-5,
+                                   atol=1e-4)
 
         for i in (0, 7, 18):
             ref._step_index = i

@@ -100,6 +100,35 @@ def test_run_collects_loss_curves_and_debug_dumps(tmp_path, monkeypatch):
     assert grid.shape[1:] == (8, 8, 3)   # 64^2 render / stride 8
 
 
+def test_threaded_export_matches_serial():
+    """run_batch_images exports through a 2-worker thread pool so host
+    extraction overlaps device decode (VERDICT r3 #7); concurrent
+    export_meshes calls — including the host-side hierarchical compose +
+    marching-tets path (octree res above device_res_limit) — must produce
+    exactly the serial results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sampler, dit_params, vae_params, cond, targets = _tiny_sampler()
+    result = sampler.run(dit_params, vae_params, cond, cond, targets,
+                         jax.random.key(2), (16, 8))
+
+    def export(res_limit):
+        mesh, hand = sampler.export_meshes(vae_params, result, targets,
+                                           octree_resolution=16,
+                                           device_res_limit=res_limit)
+        return (np.asarray(mesh.verts), np.asarray(mesh.faces),
+                np.asarray(mesh.vert_mask), np.asarray(hand))
+
+    for res_limit in (256, 8):       # dense-device AND host-hierarchical path
+        serial = [export(res_limit) for _ in range(2)]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(export, res_limit) for _ in range(2)]
+            threaded = [f.result() for f in futures]
+        for s, t in zip(serial, threaded):
+            for a, b in zip(s, t):
+                np.testing.assert_array_equal(a, b)
+
+
 def test_run_batch_dp_sharded():
     """Batched (vmapped) sampler over a dp mesh matches per-image runs."""
     from followmyhold_tpu.parallel import make_mesh

@@ -23,10 +23,12 @@ from followmyhold_tpu.models.hunyuan import (
 
 
 def _hier_dense(vae, params, lat, res, chunk, cell_cap):
-    g_c, cell_ids, fine, n_sel = vae_query_logits_hierarchical(
+    g_c, fine, n_sel, n_pts = vae_query_logits_hierarchical(
         vae, params, lat, [-BOX] * 3, [BOX] * 3, res, chunk=chunk,
         cell_cap=cell_cap)
-    return compose_hierarchical_grid(g_c, cell_ids, fine, res), n_sel
+    return compose_hierarchical_grid(
+        g_c, fine, res, cell_cap=cell_cap,
+        expect_n_pts=int(n_pts)), n_sel
 from followmyhold_tpu.ops.grid import generate_dense_grid_points
 from followmyhold_tpu.ops.surface import marching_tets_host
 
@@ -90,6 +92,93 @@ def test_selected_cells_exact_on_noise_field():
     hier, n_sel = _hier_dense(vae, params, lat, RES, 2048, 8192)
     agree = np.mean(np.sign(hier) == np.sign(dense))
     assert agree > 0.99, agree
+
+
+def test_export_refine_ids_host_matches_device_on_noise_field():
+    """compose_hierarchical_grid recomputes the refine-point ids on host
+    instead of transferring them; host (np) and device (jnp) must derive the
+    SAME ids from g_c — exercised on an adversarial random-VAE noise field
+    where selection boundaries are everywhere, and under cell-cap
+    truncation."""
+    from followmyhold_tpu.models.hunyuan import (
+        _refine_point_ids_device,
+        refine_point_ids_host,
+        vae_decode_kv,
+        _geo_query_grouped,
+    )
+
+    vae = ShapeVAE(VAE_TINY)
+    lat = jax.random.normal(jax.random.key(3),
+                            (1, VAE_TINY.num_latents, VAE_TINY.embed_dim))
+    params = vae.init(jax.random.key(4), lat, jnp.zeros((1, 8, 3)))
+    res = 32
+    kv = vae_decode_kv(vae, params, lat)
+    n_c = res // 4 + 1
+    ax = jnp.linspace(-BOX, BOX, n_c)
+    X, Y, Z = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    pts = jnp.stack([X, Y, Z], -1).reshape(1, -1, 3)
+    g_c = _geo_query_grouped(vae, params, kv, pts, 2048)[0].reshape(
+        n_c, n_c, n_c)
+    for cap in (4096, 64):                      # no-truncation + truncation
+        dev_ids, n_sel, n_pts = _refine_point_ids_device(g_c, res, 4, cap, 0.5)
+        host_ids = refine_point_ids_host(g_c, res, 4, cap, 0.5)
+        k = min(int(n_pts), dev_ids.shape[0])
+        assert host_ids.size == k, (host_ids.size, k, cap)
+        np.testing.assert_array_equal(np.asarray(dev_ids)[:k], host_ids)
+
+
+def test_refine_point_budget_pins_capacity_sweep():
+    """Pin the empirical point budget (_refine_point_budget) and the
+    indicator semantics (ADVICE r3 #3): on the capacity-sweep fields the
+    deduped unique-point count stays within budget*cells, and the in-loop
+    indicator fires for a shape whose cell count exceeds the cap."""
+    from followmyhold_tpu.models.hunyuan import (
+        _noncoarse_offsets,
+        _refine_point_budget,
+        _select_surface_cells,
+    )
+
+    def unique_ratio(sdf_fn, res, cf, box=1.1):
+        res_c = res // cf
+        n_c, n_f = res_c + 1, res + 1
+        ax = np.linspace(-box, box, n_c, dtype=np.float32)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        g = -np.asarray(sdf_fn(np.stack([X, Y, Z], -1)), np.float32)
+        select = _select_surface_cells(g, res_c, 0.5, np)
+        ids = np.nonzero(select)[0]
+        ci = ids // (res_c * res_c)
+        cj = (ids // res_c) % res_c
+        ck = ids % res_c
+        base = np.stack([ci, cj, ck], -1).astype(np.int64) * cf
+        fidx = base[:, None, :] + _noncoarse_offsets(cf).astype(np.int64)[None]
+        flat = (fidx[..., 0] * n_f + fidx[..., 1]) * n_f + fidx[..., 2]
+        return ids.size, np.unique(flat.reshape(-1)).size
+
+    def sphere(r):
+        return lambda q: np.linalg.norm(q, axis=-1) - r
+
+    def box_sdf(h):
+        return lambda q: np.abs(q).max(-1) - h
+
+    ripple = lambda q: (np.linalg.norm(q, axis=-1) - 0.8            # noqa: E731
+                        - 0.05 * np.sin(40 * q[..., 0])
+                        * np.sin(37 * q[..., 1]) * np.sin(43 * q[..., 2]))
+
+    for cf, res in ((2, 64), (4, 128)):
+        budget = _refine_point_budget(cf)
+        for field in (sphere(0.8), sphere(1.05), box_sdf(0.7), ripple):
+            cells, uniq = unique_ratio(field, res, cf)
+            assert cells > 0
+            assert uniq <= budget * cells, (cf, cells, uniq, budget)
+
+    # indicator semantics: a box-filling sphere overflows a small cell cap
+    # and the in-loop decode reports it via the returned indicator
+    vae = AnalyticVae(lambda q: jnp.linalg.norm(q, axis=-1) - 1.05)
+    lat = jnp.zeros((1, 4, 4))
+    _, ind = vae_query_logits_hier_grid(
+        vae, None, lat, [-BOX] * 3, [BOX] * 3, 32, chunk=4096,
+        coarse_factor=2, cell_cap=256)
+    assert int(ind) > 256
 
 
 def test_hierarchical_overflow_degrades_not_crashes():
