@@ -152,6 +152,30 @@ def main() -> None:
 
         RESULTS["dit"] = _timeit(dit_step, dit_params, latents, cond_cat, iters=5)
         print(f"# dit cfg step: {RESULTS['dit']*1e3:.1f} ms", file=sys.stderr)
+
+        # scanned steady-state step: the 30-step HOI stage is ONE lax.scan
+        # jit (diffusion/pipeline.denoise_latents), so it pays no per-step
+        # dispatch/sync — account it at the scanned rate (measured ~245 vs
+        # ~305 ms dispatched, tools/exp_dit_bk.py). The guidance loop's 20
+        # steps DO dispatch per step (phases interleave) and stay at `dit`.
+        @jax.jit
+        def dit_scan4(params, lat, cond):
+            def body(carry, _):
+                lat_in = jnp.concatenate([carry, carry], axis=0)
+                eps = dit.apply(params, lat_in, jnp.full((2,), 0.5), cond)
+                eps_c, eps_u = jnp.split(eps, 2, axis=0)
+                guided = eps_u + 5.0 * (eps_c - eps_u)
+                # thread the carry through the measured op so XLA cannot
+                # hoist the loop-invariant forward out of the scan
+                return carry + guided.astype(carry.dtype) * 1e-30, None
+
+            out, _ = jax.lax.scan(body, lat, None, length=4)
+            return out
+
+        RESULTS["dit_scanned"] = _timeit(dit_scan4, dit_params, latents,
+                                         cond_cat, iters=2) / 4
+        print(f"# dit cfg step (scanned): {RESULTS['dit_scanned']*1e3:.1f} ms",
+              file=sys.stderr)
         # free before the optimization phases: 16 GB HBM is tight
         del dit_params
         import gc
@@ -392,11 +416,12 @@ def main() -> None:
                                            chunk=sampler.vae_chunk)
 
         def decode():
-            g_c, fine, _, n_pts = decode_fn(vae_params, latents)
+            g_c, pt_ids, fine, _, n_pts = decode_fn(vae_params, latents)
             # the D2H transfer + host compose are part of the real cost
             return compose_hierarchical_grid(np.asarray(g_c),
                                              np.asarray(fine), res,
-                                             expect_n_pts=int(n_pts))
+                                             expect_n_pts=int(n_pts),
+                                             pt_ids=np.asarray(pt_ids))
 
         # note: random weights give a noise field, so the surface-cell cap
         # saturates — the measured cost is the cap-limited (= worst-case

@@ -808,11 +808,12 @@ class GuidedSampler:
             )
 
             cap = EXPORT_CELL_CAP
-            g_c, fine, n_sel, n_pts = hierarchical_decode_fn(
+            g_c, pt_ids, fine, n_sel, n_pts = hierarchical_decode_fn(
                 self.vae, self.box_v, res, chunk=self.vae_chunk,
                 cell_cap=cap)(vae_params, result.latents)
             sdf = -compose_hierarchical_grid(g_c, fine, res, cell_cap=cap,
-                                             expect_n_pts=int(n_pts))
+                                             expect_n_pts=int(n_pts),
+                                             pt_ids=pt_ids)
             pt_cap = _refine_point_budget(4) * cap
             if int(n_sel) > cap or int(n_pts) > pt_cap:
                 print(f"WARNING: hierarchical decode capacity overflow: "

@@ -102,12 +102,13 @@ def latents_to_mesh(
         from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP as cap
         from followmyhold_tpu.models.hunyuan import _refine_point_budget
 
-        g_c, fine, n_sel, n_pts = hierarchical_decode_fn(
+        g_c, pt_ids, fine, n_sel, n_pts = hierarchical_decode_fn(
             vae, box_v, octree_resolution, chunk=chunk, cell_cap=cap)(
                 vae_params, latents)
         sdf = -compose_hierarchical_grid(g_c, fine, octree_resolution,
                                          cell_cap=cap,
-                                         expect_n_pts=int(n_pts))
+                                         expect_n_pts=int(n_pts),
+                                         pt_ids=pt_ids)
         pt_cap = _refine_point_budget(4) * cap
         if int(n_sel) > cap or int(n_pts) > pt_cap:
             print(f"WARNING: hierarchical decode capacity overflow: "

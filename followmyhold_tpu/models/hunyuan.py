@@ -556,7 +556,9 @@ def vae_query_logits(
 
 def _upsample_corner_aligned(g: jnp.ndarray, cf: int) -> jnp.ndarray:
     """Corner-aligned trilinear upsample [n_c,n_c,n_c] -> [(n_c-1)*cf+1, ...]
-    (device twin of compose_hierarchical_grid's host up_axis)."""
+    for the IN-LOOP decode, whose background values feed differentiable SDF
+    losses and so must interpolate (the export compose only needs signs away
+    from the surface and uses a floor fill instead)."""
 
     def up_axis(a):
         base, nxt = a[:-1], a[1:]
@@ -788,19 +790,19 @@ def vae_query_logits_hierarchical(
     such objects, silently corrupting 40%% of crossing cells (2176 sign
     flips). Exactness needs n_selected <= cell_cap; the caller warns.
 
-    Returns (coarse_grid [n_c,n_c,n_c], refine_vals [point_cap], n_selected,
-    n_points): ~22 MB to transfer instead of the 228 MB dense grid (the D2H
-    copy rides a slow remote-TPU tunnel here). Refine-point ids are NOT
-    transferred: the host holds g_c bit-exact and recomputes the selection
-    and the ascending deduped point ids deterministically
-    (_select_surface_cells is shared jnp/np code; IEEE-f32 ops only), so
-    compose_hierarchical_grid() rebuilds the dense-equivalent grid from
-    values alone — sign-exact away from the surface and value-exact at every
-    refined cell, so marching output matches the dense decode's. Compare
-    n_selected to cell_cap and n_points to
-    _refine_point_budget(cf)*cell_cap on the host; overflow degrades
-    smoothly (missed cells keep interpolated values) but warrants a bigger
-    cap.
+    Returns (coarse_grid [n_c,n_c,n_c], pt_ids [point_cap], refine_vals
+    [point_cap], n_selected, n_points): ~41 MB to transfer instead of the
+    228 MB dense grid (the D2H copy rides a slow remote-TPU tunnel here).
+    The ascending deduped point ids ARE transferred: shipping the 19 MB
+    int32 array measured ~0.5 s vs ~2.2 s for the host to recompute the
+    selection from g_c (refine_point_ids_host remains as the values-only
+    fallback and the determinism cross-check).
+    compose_hierarchical_grid() rebuilds the dense-equivalent grid —
+    sign-exact away from the surface and value-exact at every refined cell,
+    so marching output matches the dense decode's. Compare n_selected to
+    cell_cap and n_points to _refine_point_budget(cf)*cell_cap on the host;
+    overflow degrades smoothly (missed cells keep background values) but
+    warrants a bigger cap.
     """
     assert resolution % coarse_factor == 0
     assert latents.shape[0] == 1, "export decode is per-image"
@@ -832,7 +834,7 @@ def vae_query_logits_hierarchical(
     pts_f = lo + jnp.stack([fi, fj, fk], -1).astype(jnp.float32) * step_f
     g_f = _geo_query_grouped(vae, params, kv,
                              pts_f.reshape(1, -1, 3), chunk)[0]  # [point_cap]
-    return g_c, g_f, n_sel, n_pts
+    return g_c, pt_ids, g_f, n_sel, n_pts
 
 
 def _refine_point_ids_device(g_c, resolution: int, coarse_factor: int,
@@ -906,44 +908,60 @@ def compose_hierarchical_grid(g_c, refine_vals, resolution: int,
                               coarse_factor: int = 4,
                               cell_cap: int = EXPORT_CELL_CAP,
                               pad_factor: float = 0.5,
-                              expect_n_pts=None):
-    """HOST part of the two-level decode: corner-aligned trilinear upsample
-    of the coarse grid + exact overwrite of refined point values at the
-    host-recomputed ids (refine_point_ids_host). numpy, slice-vectorized
-    (no gathers); ~1 s at 385^3. cell_cap/pad_factor MUST match the device
-    call's. Pass the device's n_points as expect_n_pts to cross-check that
-    the host recomputation tracked the device selection (O(1) canary)."""
+                              expect_n_pts=None,
+                              pt_ids=None):
+    """HOST part of the two-level decode: floor-fill background + exact
+    overwrite of refined point values.
+
+    pt_ids: the device decode's ascending zero-padded refine-point ids
+    (preferred — a ~0.5 s D2H copy). When None, the host recomputes them
+    from g_c via refine_point_ids_host (~2.2 s; relies on the tested
+    IEEE-f32 host/device selection equivalence); then cell_cap/pad_factor
+    MUST match the device call's, and expect_n_pts (the device's n_points)
+    cross-checks that the recomputation tracked the device (O(1) canary).
+
+    Background fill is FLOOR (each fine point takes its containing coarse
+    cell's lower-corner value), not trilinear: every fine cell's corners
+    then carry values of corners of its containing COARSE cell, so an
+    unselected (sign-uniform-with-margin) coarse cell contributes no
+    marching emission — exactly like trilinear, whose convex combinations
+    are also sign-uniform there — while every zero-crossing fine cell lies
+    in a selected coarse cell whose points are overwritten exactly. Marching
+    output is therefore identical to the dense decode's (given
+    n_selected <= cell_cap; the caller warns on overflow, where either fill
+    degrades). The trilinear upsample this replaces was ~5 s of strided
+    passes over 57M floats at 385^3; the floor fill is one broadcast write
+    (~0.3 s)."""
     g_c = np.asarray(g_c, np.float32)
     refine_vals = np.asarray(refine_vals, np.float32)
     cf = coarse_factor
+    n_f = resolution + 1
 
-    def up_axis(a):
-        """Corner-aligned 1-D upsample along axis 0."""
-        out = np.empty(((a.shape[0] - 1) * cf + 1,) + a.shape[1:], a.dtype)
-        base, nxt = a[:-1], a[1:]
-        for r in range(cf):
-            w = r / cf
-            out[r::cf][: a.shape[0] - 1] = base * (1 - w) + nxt * w
-        out[-1] = a[-1]
-        return out
+    # floor index per axis; p == resolution lands on coarse index res_c, so
+    # every coarse-aligned fine point (incl. the closing planes) is EXACT
+    idx = np.arange(n_f) // cf
+    dense = g_c[idx][:, idx][:, :, idx].reshape(-1)
 
-    # upsample axis 0, rotate axes; after three rounds the order is restored
-    dense = g_c
-    for _ in range(3):
-        dense = np.moveaxis(up_axis(dense), 0, 2)
-    dense = np.ascontiguousarray(dense).reshape(-1)
+    if pt_ids is not None:
+        pt_ids = np.asarray(pt_ids)
+        k = pt_ids.size
+        if expect_n_pts is not None:
+            k = min(k, int(expect_n_pts))     # drop the zero-padded tail
+        dense[pt_ids[:k]] = refine_vals[:k]
+        return dense
 
-    pt_ids = refine_point_ids_host(g_c, resolution, cf, cell_cap, pad_factor)
+    host_ids = refine_point_ids_host(g_c, resolution, cf, cell_cap,
+                                     pad_factor)
     if expect_n_pts is not None:
         point_cap = min(_refine_point_budget(cf) * cell_cap,
                         (resolution + 1) ** 3)
-        if min(int(expect_n_pts), point_cap) != pt_ids.size:
+        if min(int(expect_n_pts), point_cap) != host_ids.size:
             raise RuntimeError(
-                f"hierarchical compose: host recomputed {pt_ids.size} refine "
-                f"points but the device queried "
+                f"hierarchical compose: host recomputed {host_ids.size} "
+                f"refine points but the device queried "
                 f"{min(int(expect_n_pts), point_cap)} — host/device "
                 f"selection diverged; refusing to scatter misaligned values")
-    dense[pt_ids] = refine_vals[: pt_ids.size]
+    dense[host_ids] = refine_vals[: host_ids.size]
     return dense
 
 

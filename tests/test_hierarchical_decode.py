@@ -22,13 +22,13 @@ from followmyhold_tpu.models.hunyuan import (
 )
 
 
-def _hier_dense(vae, params, lat, res, chunk, cell_cap):
-    g_c, fine, n_sel, n_pts = vae_query_logits_hierarchical(
+def _hier_dense(vae, params, lat, res, chunk, cell_cap, use_pt_ids=True):
+    g_c, pt_ids, fine, n_sel, n_pts = vae_query_logits_hierarchical(
         vae, params, lat, [-BOX] * 3, [BOX] * 3, res, chunk=chunk,
         cell_cap=cell_cap)
     return compose_hierarchical_grid(
-        g_c, fine, res, cell_cap=cell_cap,
-        expect_n_pts=int(n_pts)), n_sel
+        g_c, fine, res, cell_cap=cell_cap, expect_n_pts=int(n_pts),
+        pt_ids=pt_ids if use_pt_ids else None), n_sel
 from followmyhold_tpu.ops.grid import generate_dense_grid_points
 from followmyhold_tpu.ops.surface import marching_tets_host
 
@@ -76,6 +76,10 @@ def test_hierarchical_exact_on_lipschitz_field():
     assert len(sv) == len(hv) and len(sf) == len(hf)
     np.testing.assert_allclose(sv, hv, atol=1e-5)
     np.testing.assert_array_equal(sf, hf)
+
+    # the host-recompute compose fallback (no pt_ids) must match exactly
+    hier2, _ = _hier_dense(vae, None, lat, RES, 4096, 4096, use_pt_ids=False)
+    np.testing.assert_array_equal(hier2, hier)
 
 
 def test_selected_cells_exact_on_noise_field():

@@ -115,18 +115,40 @@ def main():
     _sync(fine_old_fn(params, kv, pts_old))
     timeit(fine_old_fn, params, kv, pts_old, label=f"fine_old ({n_old} pts)")
 
-    # D2H + host compose
+    # D2H + host compose (both modes)
     g_c_h = np.asarray(g_c)
     g_f_h = np.asarray(g_f)[0]
-    t0 = time.time()
-    compose_hierarchical_grid(g_c_h, g_f_h, res, coarse_factor=cf,
-                              cell_cap=cap, expect_n_pts=int(n_pts))
-    print(f"# compose (host): {(time.time()-t0)*1e3:.1f} ms",
-          file=sys.stderr, flush=True)
+    pt_ids_h = np.asarray(pt_ids)
+    for mode, ids in (("pt_ids", pt_ids_h), ("host-recompute", None)):
+        t0 = time.time()
+        compose_hierarchical_grid(g_c_h, g_f_h, res, coarse_factor=cf,
+                                  cell_cap=cap, expect_n_pts=int(n_pts),
+                                  pt_ids=ids)
+        print(f"# compose (host, {mode}): {(time.time()-t0)*1e3:.1f} ms",
+              file=sys.stderr, flush=True)
 
     t0 = time.time()
     np.asarray(fine_new_fn(params, kv, pt_ids))
     print(f"# fine_new + full D2H ({point_cap*4/1e6:.0f} MB): "
+          f"{(time.time()-t0)*1e3:.1f} ms", file=sys.stderr, flush=True)
+
+    # end-to-end: the ONE jitted decode + D2H + compose, as production runs
+    from followmyhold_tpu.models.hunyuan import hierarchical_decode_fn
+
+    decode_fn = hierarchical_decode_fn(vae, box, res, chunk=chunk,
+                                       cell_cap=cap)
+
+    def full_decode():
+        g_c2, ids2, fine2, _, n2 = decode_fn(params, latents)
+        return compose_hierarchical_grid(np.asarray(g_c2),
+                                         np.asarray(fine2), res,
+                                         expect_n_pts=int(n2),
+                                         pt_ids=np.asarray(ids2))
+
+    full_decode()
+    t0 = time.time()
+    full_decode()
+    print(f"# FULL export decode (device+D2H+compose): "
           f"{(time.time()-t0)*1e3:.1f} ms", file=sys.stderr, flush=True)
 
 
