@@ -279,6 +279,17 @@ def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
 # perf-diagnosis switch (trace-time static): 'all' | 'winner' (zero the
 # coverage/edge-distance grads) | 'cov' (zero the winner barycentric grads).
 # Only bench/experiments set this; results are WRONG unless 'all'.
+#
+# Floor analysis (v5e, 61k-face bench mesh, 2026-08-19): fwd 83.5 ms,
+# fwd+grad all 214.6 / winner-only 197.9 / cov-only 211.0 ms. Of the 131 ms
+# backward, the coverage chain (3 segment distances + sqrt + its 12
+# reductions) folds away for only ~17 ms and the winner/edge chain for ~4 ms
+# — ~110 ms is the shared per-face iteration itself (geometry already
+# streams through SMEM; the [t,t] edge/area/barycentric recompute runs per
+# face for BOTH branches). The kernel is elementwise-bound per face*pixel,
+# like the forward (ratio 1.37 ~= op-count ratio); reduction fusion or
+# branch pruning cannot move it materially. Next real lever would be fewer
+# face iterations (tighter binning), not cheaper ones.
 _BWD_PARTS = os.environ.get("FOHO_RASTER_BWD_PARTS", "all")
 
 
