@@ -680,10 +680,12 @@ class GuidedSampler:
             if renders is not None and "hier_cells" in renders:
                 worst = int(np.asarray(renders["hier_cells"]).max())
                 if worst > self.inloop_cell_cap:
-                    print(f"WARNING: in-loop hier decode cell overflow at "
-                          f"{tag} (batched): {worst}/{self.inloop_cell_cap} "
-                          f"— missed cells kept interpolated values; raise "
-                          f"inloop_cell_cap")
+                    # hier_cells is max(n_cells, scaled point count): the
+                    # figure may be either capacity (point cap = 9*cell cap)
+                    print(f"WARNING: in-loop hier decode capacity overflow "
+                          f"(cells or refine points) at {tag} (batched): "
+                          f"{worst}/{self.inloop_cell_cap} — missed points "
+                          f"kept interpolated values; raise inloop_cell_cap")
             if not debugs:
                 return
             arr = np.asarray(losses)                    # [B, iters]

@@ -50,8 +50,42 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _COV_CAP = 1.0 - 1e-3   # max per-face coverage: keeps d(prod)/d(cov) finite
-_PT = 128               # pallas pixel tile edge
 _PCHUNK = 128           # faces per streamed geometry block
+
+
+def _pallas_tile_shape() -> tuple[int, int]:
+    """Pixel tile (rows, cols) for the Pallas path, env-overridable.
+
+    Each face iteration does a [th, tw] tile of VPU math, so shrinking the
+    tile cuts per-face vector work — but the v5e sweep
+    (tools/exp_raster_tile.py; results in the floor analysis below) shows
+    every smaller shape LOSES: the O(T*F) binning overlap matrix, the
+    [T, K] geometry gather (and its backward scatter), and tile-straddling
+    faces all grow with the tile count T and swamp the saving. 128x128 is
+    the measured optimum for 512^2 renders; the knob remains for profiling
+    and for other image sizes. Mosaic constrains tw to multiples of 128
+    (lane dim) and th to multiples of 8.
+    """
+    s = os.environ.get("FOHO_RASTER_TILE", "128x128")
+    th, tw = (int(v) for v in s.lower().split("x"))
+    if th % 8 or tw % 128 or th < 8 or tw < 128:
+        raise ValueError(f"FOHO_RASTER_TILE={s}: need rows%8==0, cols%128==0")
+    return th, tw
+
+
+def _scale_faces_per_tile(faces_per_tile: int, th: int, tw: int) -> int:
+    """Per-tile face capacity for a (th, tw) tile, from the 128x128 budget.
+
+    Per-tile face count scales with the padded tile area
+    (th + h)(tw + h) for typical face bbox h; h=16 px plus a 1.5x safety
+    factor covers the measured bench meshes, capped at the caller's budget
+    so the default 128x128 path is unchanged."""
+    if th >= 128 and tw >= 128 and th * tw >= 128 * 128:
+        return faces_per_tile
+    scale = ((th + 16) * (tw + 16)) / float((128 + 16) * (128 + 16))
+    k = int(_math.ceil(faces_per_tile * scale * 1.5))
+    k = max(1024, ((k + _PCHUNK - 1) // _PCHUNK) * _PCHUNK)
+    return min(k, faces_per_tile)
 
 
 class RasterOut(NamedTuple):
@@ -76,22 +110,22 @@ def _on_tpu() -> bool:
         return False
 
 
-def _bin_faces(tri, valid, H, W, tile, faces_per_tile, sigma_px):
+def _bin_faces(tri, valid, H, W, tile_h, tile_w, faces_per_tile, sigma_px):
     """Tile/face overlap -> per-tile face lists + true counts."""
     F = tri.shape[0]
-    ty, tx = H // tile, W // tile
+    ty, tx = H // tile_h, W // tile_w
     n_tiles = ty * tx
     pad = sigma_px * 3.0 + 1.0
     fmin = tri[..., :2].min(axis=1) - pad          # [F,2]
     fmax = tri[..., :2].max(axis=1) + pad
 
     tile_ids = jnp.arange(n_tiles)
-    tile_y0 = (tile_ids // tx) * tile
-    tile_x0 = (tile_ids % tx) * tile
+    tile_y0 = (tile_ids // tx) * tile_h
+    tile_x0 = (tile_ids % tx) * tile_w
     overlap = (
-        (fmin[None, :, 0] <= (tile_x0[:, None] + tile - 1))
+        (fmin[None, :, 0] <= (tile_x0[:, None] + tile_w - 1))
         & (fmax[None, :, 0] >= tile_x0[:, None])
-        & (fmin[None, :, 1] <= (tile_y0[:, None] + tile - 1))
+        & (fmin[None, :, 1] <= (tile_y0[:, None] + tile_h - 1))
         & (fmax[None, :, 1] >= tile_y0[:, None])
         & valid[None, :]
     )                                              # [T,F]
@@ -105,9 +139,9 @@ def _bin_faces(tri, valid, H, W, tile, faces_per_tile, sigma_px):
     return tile_faces, counts, tile_y0, tile_x0, ty, tx
 
 
-def _untile(x, ty, tx, tile, H, W):
+def _untile(x, ty, tx, tile_h, tile_w, H, W):
     c = x.shape[3:]
-    return x.reshape(ty, tx, tile, tile, *c).transpose(
+    return x.reshape(ty, tx, tile_h, tile_w, *c).transpose(
         0, 2, 1, 3, *range(4, 4 + len(c))
     ).reshape(H, W, *c)
 
@@ -220,31 +254,31 @@ def _face_geometry(gs, uu, vv, inv_sigma):
 
 
 def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
-                       zbest_ref, *, t: int, K: int, C: int, tx: int,
-                       inv_sigma: float, znear: float, zfar: float):
+                       zbest_ref, *, th: int, tw: int, K: int, C: int,
+                       tx: int, inv_sigma: float, znear: float, zfar: float):
     """Grid (T, K//C): chunk cc of tile p. The [9, C] geometry chunk is
     streamed into SMEM by the BlockSpec index map; the face loop runs to the
     tile's TRUE count (scalar prefetch), reading per-face scalars from SMEM
-    and doing [t,t] vector math — inactive chunks cost nothing. Per-tile
+    and doing [th,tw] vector math — inactive chunks cost nothing. Per-tile
     state lives in the output blocks, whose index is constant in cc, so they
     stay resident in VMEM across a tile's chunk steps."""
     p = pl.program_id(0)
     cc = pl.program_id(1)
     count = counts_ref[p]
-    y0 = ((p // tx) * t).astype(jnp.float32)
-    x0 = ((p % tx) * t).astype(jnp.float32)
-    uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
-    vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
+    y0 = ((p // tx) * th).astype(jnp.float32)
+    x0 = ((p % tx) * tw).astype(jnp.float32)
+    uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
 
     big = jnp.float32(3.0e38)
 
     @pl.when(cc == 0)
     def _init():
-        zbest_ref[0] = jnp.full((t, t), big, jnp.float32)
-        slot_ref[0] = jnp.full((t, t), -1, jnp.int32)
-        w1_ref[0] = jnp.zeros((t, t), jnp.float32)
-        w2_ref[0] = jnp.zeros((t, t), jnp.float32)
-        vis_ref[0] = jnp.ones((t, t), jnp.float32)
+        zbest_ref[0] = jnp.full((th, tw), big, jnp.float32)
+        slot_ref[0] = jnp.full((th, tw), -1, jnp.int32)
+        w1_ref[0] = jnp.zeros((th, tw), jnp.float32)
+        w2_ref[0] = jnp.zeros((th, tw), jnp.float32)
+        vis_ref[0] = jnp.ones((th, tw), jnp.float32)
 
     @pl.when(cc * C < count)
     def _active():
@@ -288,21 +322,29 @@ def _raster_fwd_kernel(counts_ref, geom_ref, w1_ref, w2_ref, slot_ref, vis_ref,
 # streams through SMEM; the [t,t] edge/area/barycentric recompute runs per
 # face for BOTH branches). The kernel is elementwise-bound per face*pixel,
 # like the forward (ratio 1.37 ~= op-count ratio); reduction fusion or
-# branch pruning cannot move it materially. Next real lever would be fewer
-# face iterations (tighter binning), not cheaper ones.
+# branch pruning cannot move it materially.
+#
+# Tile-shape sweep (tools/exp_raster_tile.py, v5e, same mesh, 2026-08-19):
+# smaller tiles LOSE — fwd/grad ms: 128x128 77.7/205.0, 32x128 117.5/220.0,
+# 16x128 182/292, 8x128 329/455, 8x512 135.8/295, 16x256 149.9/258. The
+# per-face [t,t] vector-work saving is swamped by the O(T*F) binning
+# overlap matrix, the [T,K] geometry gather/scatter, and tile-straddling
+# faces — all of which grow with the tile count T (fitted ~14.5 ns per
+# (tile, face) overlap entry + ~83 ns per (tile, slot) gathered). 128x128
+# is the measured optimum for 512^2 renders; the kernel floor stands.
 _BWD_PARTS = os.environ.get("FOHO_RASTER_BWD_PARTS", "all")
 
 
 def _raster_bwd_kernel(counts_ref, geom_ref, slot_ref, vis_ref, gw1_ref,
-                       gw2_ref, gvis_ref, dgeom_ref, *, t: int, K: int, C: int,
-                       tx: int, inv_sigma: float):
+                       gw2_ref, gvis_ref, dgeom_ref, *, th: int, tw: int,
+                       K: int, C: int, tx: int, inv_sigma: float):
     p = pl.program_id(0)
     cc = pl.program_id(1)
     count = counts_ref[p]
-    y0 = ((p // tx) * t).astype(jnp.float32)
-    x0 = ((p % tx) * t).astype(jnp.float32)
-    uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 1).astype(jnp.float32)
-    vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (t, t), 0).astype(jnp.float32)
+    y0 = ((p // tx) * th).astype(jnp.float32)
+    x0 = ((p % tx) * tw).astype(jnp.float32)
+    uu = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    vv = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
 
     dgeom_ref[0] = jnp.zeros((9, C), jnp.float32)
 
@@ -423,8 +465,8 @@ def _raster_bwd_kernel(counts_ref, geom_ref, slot_ref, vis_ref, gw1_ref,
 
 
 @functools.lru_cache(maxsize=16)
-def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
-                         znear: float, zfar: float):
+def _raster_tiles_pallas(th: int, tw: int, K: int, tx: int, T: int,
+                         inv_sigma: float, znear: float, zfar: float):
     """Factory: custom-vjp tile rasterizer closed over the static meta.
 
     Grid (T, K // C): the geometry is streamed chunk-by-chunk through
@@ -433,11 +475,11 @@ def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
     C = _PCHUNK
     NC = K // C
 
-    tile_specs = [pl.BlockSpec((1, t, t), lambda p, cc, c: (p, 0, 0),
+    tile_specs = [pl.BlockSpec((1, th, tw), lambda p, cc, c: (p, 0, 0),
                                memory_space=pltpu.VMEM) for _ in range(6)]
 
     fwd_call = pl.pallas_call(
-        partial(_raster_fwd_kernel, t=t, K=K, C=C, tx=tx,
+        partial(_raster_fwd_kernel, th=th, tw=tw, K=K, C=C, tx=tx,
                 inv_sigma=inv_sigma, znear=znear, zfar=zfar),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -452,16 +494,16 @@ def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # w1
-            jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # w2
-            jax.ShapeDtypeStruct((T, t, t), jnp.int32),     # slot
-            jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # vis
-            jax.ShapeDtypeStruct((T, t, t), jnp.float32),   # zbest (scratch out)
+            jax.ShapeDtypeStruct((T, th, tw), jnp.float32),   # w1
+            jax.ShapeDtypeStruct((T, th, tw), jnp.float32),   # w2
+            jax.ShapeDtypeStruct((T, th, tw), jnp.int32),     # slot
+            jax.ShapeDtypeStruct((T, th, tw), jnp.float32),   # vis
+            jax.ShapeDtypeStruct((T, th, tw), jnp.float32),   # zbest (scratch out)
         ),
     )
 
     bwd_call = pl.pallas_call(
-        partial(_raster_bwd_kernel, t=t, K=K, C=C, tx=tx,
+        partial(_raster_bwd_kernel, th=th, tw=tw, K=K, C=C, tx=tx,
                 inv_sigma=inv_sigma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -503,12 +545,13 @@ def _raster_tiles_pallas(t: int, K: int, tx: int, T: int, inv_sigma: float,
 
 def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
     H, W = camera.height, camera.width
-    tile = _PT
+    th, tw = _pallas_tile_shape()
     F = tri.shape[0]
-    K = max(_PCHUNK, ((faces_per_tile + _PCHUNK - 1) // _PCHUNK) * _PCHUNK)
+    fpt = _scale_faces_per_tile(faces_per_tile, th, tw)
+    K = max(_PCHUNK, ((fpt + _PCHUNK - 1) // _PCHUNK) * _PCHUNK)
 
     tile_faces, counts, _, _, ty, tx = _bin_faces(
-        tri, valid, H, W, tile, K, sigma_px)
+        tri, valid, H, W, th, tw, K, sigma_px)
     T = ty * tx
 
     # sentinel face F -> zero geometry
@@ -519,14 +562,14 @@ def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
     geom = geom.transpose(0, 2, 1).astype(jnp.float32)  # [T,9,K]
 
     raster_tiles = _raster_tiles_pallas(
-        tile, K, tx, T, 1.0 / max(sigma_px, 1e-6),
+        th, tw, K, tx, T, 1.0 / max(sigma_px, 1e-6),
         float(camera.znear), float(camera.zfar))
     w1, w2, slot, vis = raster_tiles(geom, counts)
 
     mask = slot >= 0
     slot_c = jnp.maximum(slot, 0)
     fid = jnp.take_along_axis(tile_faces, slot_c.reshape(T, -1), axis=1)
-    fid = fid.reshape(T, tile, tile)
+    fid = fid.reshape(T, th, tw)
     fid = jnp.where(mask, fid, -1)
 
     fid_safe = jnp.where(mask, fid, F)     # sentinel -> zeros
@@ -544,7 +587,7 @@ def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
     hard = jax.lax.stop_gradient(mask.astype(alpha_soft.dtype))
     alpha = jnp.maximum(hard, alpha_soft)
 
-    u = partial(_untile, ty=ty, tx=tx, tile=tile, H=H, W=W)
+    u = partial(_untile, ty=ty, tx=tx, tile_h=th, tile_w=tw, H=H, W=W)
     return RasterOut(zbuf=u(zbuf), normal=u(normal), face_id=u(fid),
                      alpha=u(alpha))
 
@@ -560,7 +603,7 @@ def _rasterize_xla(camera, tri, tri_n, valid, sigma_px, tile, faces_per_tile,
     F = tri.shape[0]
 
     tile_faces, _, tile_y0, tile_x0, ty, tx = _bin_faces(
-        tri, valid, H, W, tile, faces_per_tile, sigma_px)
+        tri, valid, H, W, tile, tile, faces_per_tile, sigma_px)
 
     # sentinel face F: append a masked dummy entry
     tri_p = jnp.concatenate([tri, jnp.zeros((1, 3, 3), tri.dtype)])
@@ -652,7 +695,7 @@ def _rasterize_xla(camera, tri, tri_n, valid, sigma_px, tile, faces_per_tile,
 
     zb, nrm, fid, alpha = jax.vmap(render_tile)(tile_faces, tile_y0, tile_x0)
 
-    u = partial(_untile, ty=ty, tx=tx, tile=tile, H=H, W=W)
+    u = partial(_untile, ty=ty, tx=tx, tile_h=tile, tile_w=tile, H=H, W=W)
     return RasterOut(zbuf=u(zb), normal=u(nrm), face_id=u(fid), alpha=u(alpha))
 
 
@@ -682,13 +725,14 @@ def rasterize(
     tri_n = vert_normals[faces]                    # [F,3,3]
     valid = (face_mask > 0) & jnp.all(tri[..., 2] > camera.znear, axis=-1)
 
+    pth, ptw = _pallas_tile_shape()
     use_pallas = (
         _HAS_PALLAS
         and not force_xla
         and not os.environ.get("FOHO_TPU_FORCE_XLA_RASTER")
         and _on_tpu()
-        and H % _PT == 0
-        and W % _PT == 0
+        and H % pth == 0
+        and W % ptw == 0
     )
     if use_pallas:
         return _rasterize_pallas(camera, tri, tri_n, valid, sigma_px,

@@ -207,6 +207,36 @@ def test_pallas_raster_matches_xla_gradients():
                                atol=2e-2 * nscale)
 
 
+def test_pallas_raster_rect_tile_matches_square(monkeypatch):
+    """Rectangular pixel tiles (FOHO_RASTER_TILE) are value-identical to the
+    128x128 default: per-pixel winner/depth tests don't depend on the tiling
+    and each tile's face list keeps the same ascending order, so even the
+    visibility product multiplies in the same order."""
+    import os as _os
+
+    v, f, n, m = _irregular_mesh(n_tri=40, seed=11)
+    with _pallas_interpret_on_cpu():
+        ref = rasterize(CAM, v, f, n, m, faces_per_tile=64)
+    for shape in ("32x128", "8x128"):
+        monkeypatch.setenv("FOHO_RASTER_TILE", shape)
+        rasterize.clear_cache()
+        R._raster_tiles_pallas.cache_clear()
+        try:
+            with _pallas_interpret_on_cpu():
+                out = rasterize(CAM, v, f, n, m, faces_per_tile=64)
+        finally:
+            monkeypatch.delenv("FOHO_RASTER_TILE")
+            rasterize.clear_cache()
+            R._raster_tiles_pallas.cache_clear()
+        np.testing.assert_array_equal(np.asarray(out.face_id),
+                                      np.asarray(ref.face_id), err_msg=shape)
+        np.testing.assert_allclose(np.asarray(out.zbuf), np.asarray(ref.zbuf),
+                                   atol=1e-6, err_msg=shape)
+        np.testing.assert_allclose(np.asarray(out.alpha),
+                                   np.asarray(ref.alpha), atol=1e-6,
+                                   err_msg=shape)
+
+
 def test_pallas_raster_empty_and_overflow():
     """No faces at all, and more faces than capacity, both stay finite."""
     v, f, n, m = _irregular_mesh(n_tri=30, seed=9)
