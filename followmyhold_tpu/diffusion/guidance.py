@@ -125,6 +125,10 @@ def _transform_hand(targets: GuidanceTargets, p: PoseParams) -> jnp.ndarray:
 
 _SNAPSHOT_STRIDE = 8   # 512^2 -> 64^2 in-loop render snapshots (cheap D2H)
 
+# scan-collected scalar diagnostics riding the render-aux dict (skipped by
+# the snapshot-grid dumps, checked against their capacities post-phase)
+_DIAG_CHANNELS = ("hier_cells", "raster_bins")
+
 
 def _render_snapshot(n01, disp01):
     """Downsampled copies of the current renders, collected as scan outputs
@@ -286,12 +290,19 @@ class GuidedSampler:
     max_verts: int = 32768
     max_faces: int = 65536
     vae_chunk: int = 8192
-    # per-128px-tile bin capacity: overflow DROPS faces silently. A 61k-face
-    # object covering half the 512^2 render needs ~8k faces/tile; the Pallas
-    # kernel loops to the TRUE per-tile count, so a larger cap only pays idle
-    # grid steps on sparse tiles
-    raster_faces_per_tile: int = 8192
-    hand_faces_per_tile: int = 1024   # hand-only renders (1538 faces) need less
+    # per-128px-tile bin capacity: overflow DROPS faces silently (wrong
+    # pixels AND wrong gradients in the densest tiles). MEASURED true max on
+    # the 61k-face bench mesh at 128x128 tiles: 16216 faces in one tile —
+    # the old 8192 default dropped faces on the bench mesh itself (npix
+    # 65460 vs 65523 true). The kernel loops to the TRUE per-tile count, so
+    # capacity beyond it is ~free (K=16384 vs 24576: grad 237.1 vs 236.9 ms
+    # on v5e); 24576 gives 1.5x headroom over the measured worst case.
+    # Overflow is now observable: RasterOut.bin_max rides the render-aux
+    # channel and warns like the hier-decode cell overflow.
+    raster_faces_per_tile: int = 24576
+    # hand-only renders draw the 1538-face MANO mesh; capacity >= total
+    # face count can never overflow (a tile holds at most every face)
+    hand_faces_per_tile: int = 2048
     final_octree_resolution: Optional[int] = None  # None -> config value
     # in-loop two-level decode (0 = dense). Default ON: measured on v5e
     # (2026-08-19, dense same-session baseline obj 447/joint 510 ms) the
@@ -332,6 +343,30 @@ class GuidedSampler:
 
     def _raster_kw(self):
         return dict(faces_per_tile=self.raster_faces_per_tile)
+
+    def _warn_capacity(self, tag, renders):
+        """Post-phase check of the scan-collected capacity indicators
+        (worst over iterations, and over the batch in the batched path)."""
+        if renders is None:
+            return
+        if "hier_cells" in renders:
+            worst = int(np.asarray(renders["hier_cells"]).max())
+            if worst > self.inloop_cell_cap:
+                # hier_cells is max(n_cells, scaled point count), so the
+                # printed figure may be either capacity — both are fixed
+                # by raising inloop_cell_cap (point cap = 9*cell cap)
+                print(f"WARNING: in-loop hier decode capacity overflow "
+                      f"(cells or refine points) at {tag}: "
+                      f"{worst}/{self.inloop_cell_cap} — missed points "
+                      f"kept interpolated values; raise inloop_cell_cap")
+        if "raster_bins" in renders:
+            worst = int(np.asarray(renders["raster_bins"]).max())
+            if worst > self.raster_faces_per_tile:
+                print(f"WARNING: rasterizer bin overflow at {tag}: "
+                      f"{worst}/{self.raster_faces_per_tile} faces in the "
+                      f"densest tile — overflow faces were DROPPED (wrong "
+                      f"pixels and gradients there); raise "
+                      f"raster_faces_per_tile")
 
     def _hand_raster_kw(self):
         return dict(faces_per_tile=min(self.hand_faces_per_tile,
@@ -417,7 +452,8 @@ class GuidedSampler:
                 + 1e-3 * verts_reg_loss(tmesh.verts, tmesh.vert_mask)
                 + 1e-2 * jnp.mean(p["pose"].trans ** 2)
             )
-            aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel)
+            aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel,
+                       raster_bins=out.bin_max)
             return jnp.where(jnp.isfinite(total), total, 0.0), aux
 
         params = {"pose": obj, "noise": noise_pred}
@@ -527,7 +563,8 @@ class GuidedSampler:
                 + 1e-3 * jnp.mean(p["obj"].trans ** 2)
                 + 1e-3 * hand_loss
             )
-            aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel)
+            aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel,
+                       raster_bins=out.bin_max)
             return jnp.where(jnp.isfinite(total), total, 0.0), aux
 
         params = {"hand": hand, "obj": obj, "noise": noise_pred}
@@ -578,21 +615,12 @@ class GuidedSampler:
                     debug.log_loss(f"{tag} final: loss {arr[-1]:.6f}")
                 if renders is not None:
                     for name, stack in renders.items():
-                        if name == "hier_cells":
+                        if name in _DIAG_CHANNELS:
                             continue      # scalar diag channel, not a render
                         s = np.asarray(stack)
                         sel = np.arange(0, len(s), 10)
                         debug.dump_array(f"{tag}_{name}_grid.npy", s[sel])
-            if renders is not None and "hier_cells" in renders:
-                worst = int(np.asarray(renders["hier_cells"]).max())
-                if worst > self.inloop_cell_cap:
-                    # hier_cells is max(n_cells, scaled point count), so the
-                    # printed figure may be either capacity — both are fixed
-                    # by raising inloop_cell_cap (point cap = 9*cell cap)
-                    print(f"WARNING: in-loop hier decode capacity overflow "
-                          f"(cells or refine points) at {tag}: "
-                          f"{worst}/{self.inloop_cell_cap} — missed points "
-                          f"kept interpolated values; raise inloop_cell_cap")
+            self._warn_capacity(tag, renders)
 
         loss_log: dict = {}
         noise_pred = jnp.zeros_like(latents)
@@ -677,15 +705,7 @@ class GuidedSampler:
 
         def log_phase(tag, losses, renders):
             loss_log[tag] = losses
-            if renders is not None and "hier_cells" in renders:
-                worst = int(np.asarray(renders["hier_cells"]).max())
-                if worst > self.inloop_cell_cap:
-                    # hier_cells is max(n_cells, scaled point count): the
-                    # figure may be either capacity (point cap = 9*cell cap)
-                    print(f"WARNING: in-loop hier decode capacity overflow "
-                          f"(cells or refine points) at {tag} (batched): "
-                          f"{worst}/{self.inloop_cell_cap} — missed points "
-                          f"kept interpolated values; raise inloop_cell_cap")
+            self._warn_capacity(f"{tag} (batched)", renders)
             if not debugs:
                 return
             arr = np.asarray(losses)                    # [B, iters]
@@ -696,7 +716,7 @@ class GuidedSampler:
                     dbg.log_loss(f"{tag} iter {it}: loss {arr[b, it]:.6f}")
                 dbg.log_loss(f"{tag} final: loss {arr[b, -1]:.6f}")
                 for name, stack in renders.items():
-                    if name == "hier_cells":
+                    if name in _DIAG_CHANNELS:
                         continue          # scalar diag channel, not a render
                     s = np.asarray(stack[b])
                     dbg.dump_array(f"{tag}_{name}_grid.npy",

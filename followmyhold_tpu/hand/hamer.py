@@ -344,9 +344,12 @@ def render_overlay(img01: np.ndarray, hands: list, faces: np.ndarray,
                       vert_mask=jnp.ones(verts.shape[0]),
                       face_mask=jnp.ones(fcs.shape[0]))
     vn = vertex_normals(mesh)
+    # capacity >= total face count can never overflow (a tile holds at most
+    # every face — n_hands * 1538 MANO faces here)
+    fpt = ((int(fcs.shape[0]) + 127) // 128) * 128
     n01, _, out = render_normal_and_disparity(cam, verts, fcs, vn,
                                               mesh.face_mask,
-                                              faces_per_tile=1024)
+                                              faces_per_tile=fpt)
     hit = np.asarray(out.face_id >= 0)[..., None]
     over = np.where(hit, 0.7 * np.asarray(n01) + 0.3 * canvas, canvas)
     return (np.clip(over[py:py + H, px:px + W], 0, 1) * 255).astype(np.uint8)

@@ -58,13 +58,21 @@ def _pallas_tile_shape() -> tuple[int, int]:
 
     Each face iteration does a [th, tw] tile of VPU math, so shrinking the
     tile cuts per-face vector work — but the v5e sweep
-    (tools/exp_raster_tile.py; results in the floor analysis below) shows
-    every smaller shape LOSES: the O(T*F) binning overlap matrix, the
-    [T, K] geometry gather (and its backward scatter), and tile-straddling
-    faces all grow with the tile count T and swamp the saving. 128x128 is
-    the measured optimum for 512^2 renders; the knob remains for profiling
-    and for other image sizes. Mosaic constrains tw to multiples of 128
-    (lane dim) and th to multiples of 8.
+    (tools/exp_raster_tile.py) shows every smaller shape LOSES on forward:
+    the O(T*F) binning overlap matrix, the [T, K] geometry gather (and its
+    backward scatter), and tile-straddling faces all grow with the tile
+    count T and swamp the saving. Honest numbers (per-config capacity set
+    ABOVE the true per-tile max, so no config silently drops faces — the
+    original sweep let 128x128 overflow its 8192 cap and undercount work):
+    61k-face bench mesh, 512^2, v5e:
+        128x128 K=16384: fwd  88.4 / grad 237.1 ms   (true max 16216)
+        128x128 K=24576: fwd  89.3 / grad 236.9 ms   (capacity is free
+                          beyond the true count: the kernel loops to it)
+        32x128  K=8192:  fwd 121.0 / grad 236.3 ms   (true max 6635)
+        16x128  K=8192:  fwd 192.9 / grad 321.2 ms
+    128x128 wins forward, backward is tile-insensitive; stay at 128x128.
+    The knob remains for profiling and for other image sizes. Mosaic
+    constrains tw to multiples of 128 (lane dim) and th to multiples of 8.
     """
     s = os.environ.get("FOHO_RASTER_TILE", "128x128")
     th, tw = (int(v) for v in s.lower().split("x"))
@@ -80,6 +88,9 @@ def _scale_faces_per_tile(faces_per_tile: int, th: int, tw: int) -> int:
     (th + h)(tw + h) for typical face bbox h; h=16 px plus a 1.5x safety
     factor covers the measured bench meshes, capped at the caller's budget
     so the default 128x128 path is unchanged."""
+    env = os.environ.get("FOHO_RASTER_FPT")
+    if env:                       # profiling: exact capacity, no scaling
+        return int(env)
     if th >= 128 and tw >= 128 and th * tw >= 128 * 128:
         return faces_per_tile
     scale = ((th + 16) * (tw + 16)) / float((128 + 16) * (128 + 16))
@@ -93,6 +104,12 @@ class RasterOut(NamedTuple):
     normal: jnp.ndarray   # [H,W,3] interpolated vertex normals (unnormalized), 0 where empty
     alpha: jnp.ndarray    # [H,W] soft silhouette in [0,1]
     face_id: jnp.ndarray  # [H,W] int32 winning face, -1 where empty
+    # true (pre-clamp) max faces overlapping one tile: if this exceeds the
+    # faces_per_tile capacity actually used, faces were silently dropped in
+    # the densest tiles (wrong pixels AND wrong gradients there). Callers in
+    # the guidance loop surface it through the same aux-warning channel as
+    # the hier-decode cell overflow.
+    bin_max: jnp.ndarray = None  # int32 scalar
 
 
 def _face_screen(camera: GuidanceCamera, verts: jnp.ndarray, faces: jnp.ndarray,
@@ -135,8 +152,10 @@ def _bin_faces(tri, valid, H, W, tile_h, tile_w, faces_per_tile, sigma_px):
         return ids
 
     tile_faces = jax.vmap(tile_list)(overlap)       # [T, K]
-    counts = jnp.minimum(overlap.sum(axis=1), faces_per_tile).astype(jnp.int32)
-    return tile_faces, counts, tile_y0, tile_x0, ty, tx
+    true_counts = overlap.sum(axis=1)
+    counts = jnp.minimum(true_counts, faces_per_tile).astype(jnp.int32)
+    bin_max = true_counts.max().astype(jnp.int32)
+    return tile_faces, counts, tile_y0, tile_x0, ty, tx, bin_max
 
 
 def _untile(x, ty, tx, tile_h, tile_w, H, W):
@@ -550,7 +569,7 @@ def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
     fpt = _scale_faces_per_tile(faces_per_tile, th, tw)
     K = max(_PCHUNK, ((fpt + _PCHUNK - 1) // _PCHUNK) * _PCHUNK)
 
-    tile_faces, counts, _, _, ty, tx = _bin_faces(
+    tile_faces, counts, _, _, ty, tx, bin_max = _bin_faces(
         tri, valid, H, W, th, tw, K, sigma_px)
     T = ty * tx
 
@@ -589,7 +608,7 @@ def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
 
     u = partial(_untile, ty=ty, tx=tx, tile_h=th, tile_w=tw, H=H, W=W)
     return RasterOut(zbuf=u(zbuf), normal=u(normal), face_id=u(fid),
-                     alpha=u(alpha))
+                     alpha=u(alpha), bin_max=bin_max)
 
 
 # =========================================================================== #
@@ -602,7 +621,7 @@ def _rasterize_xla(camera, tri, tri_n, valid, sigma_px, tile, faces_per_tile,
     chunk = _math.gcd(chunk, faces_per_tile)
     F = tri.shape[0]
 
-    tile_faces, _, tile_y0, tile_x0, ty, tx = _bin_faces(
+    tile_faces, _, tile_y0, tile_x0, ty, tx, bin_max = _bin_faces(
         tri, valid, H, W, tile, tile, faces_per_tile, sigma_px)
 
     # sentinel face F: append a masked dummy entry
@@ -696,7 +715,8 @@ def _rasterize_xla(camera, tri, tri_n, valid, sigma_px, tile, faces_per_tile,
     zb, nrm, fid, alpha = jax.vmap(render_tile)(tile_faces, tile_y0, tile_x0)
 
     u = partial(_untile, ty=ty, tx=tx, tile_h=tile, tile_w=tile, H=H, W=W)
-    return RasterOut(zbuf=u(zb), normal=u(nrm), face_id=u(fid), alpha=u(alpha))
+    return RasterOut(zbuf=u(zb), normal=u(nrm), face_id=u(fid), alpha=u(alpha),
+                     bin_max=bin_max)
 
 
 # =========================================================================== #

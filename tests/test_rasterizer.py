@@ -246,3 +246,22 @@ def test_pallas_raster_empty_and_overflow():
         assert float(out.alpha.max()) == 0.0
         out2 = rasterize(CAM, v, f, n, m, faces_per_tile=8)  # overflow capacity
         assert np.isfinite(np.asarray(out2.zbuf)).all()
+
+
+def test_bin_max_overflow_indicator():
+    """RasterOut.bin_max is the TRUE (pre-clamp) per-tile face count: it must
+    exceed the capacity when faces are dropped and be capacity-independent,
+    so callers can detect silent drops (the r4 sweep measured 16216 faces in
+    one 128x128 tile on the 61k-face bench mesh vs the old 8192 cap)."""
+    v, f, n, m = _irregular_mesh(n_tri=30, seed=9)
+    ample = rasterize(CAM, v, f, n, m, tile=64, faces_per_tile=64, chunk=16)
+    tight = rasterize(CAM, v, f, n, m, tile=64, faces_per_tile=8, chunk=8)
+    true_max = int(ample.bin_max)
+    assert true_max > 8                       # this mesh overflows cap=8
+    assert int(tight.bin_max) == true_max     # indicator ignores the clamp
+    # overflow visibly degrades the render (faces dropped somewhere)
+    assert int((tight.face_id >= 0).sum()) < int((ample.face_id >= 0).sum())
+    # invalid faces don't count toward bins
+    empty = rasterize(CAM, v, f, n, jnp.zeros_like(m), tile=64,
+                      faces_per_tile=64, chunk=16)
+    assert int(empty.bin_max) == 0

@@ -46,7 +46,7 @@ def raster_loss(verts):
     vn = vertex_normals(vmesh)
     n01, disp01, out = render_normal_and_disparity(
         cam, vmesh.verts, vmesh.faces, vn, vmesh.face_mask,
-        faces_per_tile=8192)
+        faces_per_tile=KCAP)
     return jnp.sum(n01) + jnp.sum(disp01) + jnp.sum(out.alpha)
 
 @jax.jit
@@ -75,20 +75,27 @@ gr = timeit(grad8, mesh0.verts)
 from followmyhold_tpu.ops.rasterizer import rasterize
 vm = mesh0._replace(verts=mesh0.verts + shift)
 out = jax.jit(lambda v: rasterize(cam, v, vm.faces, vertex_normals(vm),
-                                  vm.face_mask, faces_per_tile=8192))(vm.verts)
+                                  vm.face_mask, faces_per_tile=KCAP))(vm.verts)
 chk = float(jnp.sum(out.alpha)), int(jnp.sum(out.face_id >= 0))
-print(f"RESULT tile={tile} faces={nf} fwd_ms={f*1e3:.1f} "
+print(f"RESULT tile={tile} K={KCAP} faces={nf} fwd_ms={f*1e3:.1f} "
       f"grad_ms={gr*1e3:.1f} alpha_sum={chk[0]:.2f} npix={chk[1]}",
       flush=True)
 """
 
 
 def main():
-    shapes = sys.argv[1:] or ["128x128", "32x128", "16x128", "8x128",
-                              "8x512", "16x256", "32x512"]
+    # "THxTW" or "THxTW:K" (per-tile face capacity; default 8192). The r4
+    # follow-up measured TRUE counts on this mesh: 16216 max at 128x128,
+    # 6635 at 32x128 — so the original sweep compared 128x128 WITH silent
+    # face drops against small tiles without; honest capacities matter.
+    shapes = sys.argv[1:] or ["128x128:16384", "128x128:24576", "32x128",
+                              "32x128:8192", "16x128:8192"]
     for s in shapes:
-        env = dict(os.environ, FOHO_RASTER_TILE=s)
-        r = subprocess.run([sys.executable, "-c", _CHILD], env=env,
+        tile, _, k = s.partition(":")
+        env = dict(os.environ, FOHO_RASTER_TILE=tile,
+                   FOHO_RASTER_FPT=k or "8192")
+        child = _CHILD.replace("KCAP", k or "8192")
+        r = subprocess.run([sys.executable, "-c", child], env=env,
                            capture_output=True, text=True, timeout=1800)
         for line in r.stdout.splitlines():
             if line.startswith("RESULT"):
