@@ -486,7 +486,12 @@ def emit() -> None:
     # forwards are <1 s/image combined and excluded like the reference's own
     # accounting.
     export = RESULTS.get("export_decode", 0.0) + RESULTS.get("export_extract", 0.0)
-    hunyuan_stage = 30 * (t_dit or 0.0) + export
+    # the HOI stage's 30 CFG steps run as ONE lax.scan jit
+    # (diffusion/pipeline.denoise_latents), so they pay no per-step
+    # dispatch/sync — account them at the measured scanned rate; the
+    # guidance loop's 20 steps DO dispatch per step and stay at `dit`
+    t_dit_scan = RESULTS.get("dit_scanned", t_dit)
+    hunyuan_stage = 30 * (t_dit_scan or 0.0) + export
     est = guidance + export + hunyuan_stage
     print(
         f"# guidance = 20*{(t_dit or 0):.3f} + 200*{(t_hand or 0):.3f} "
@@ -494,8 +499,8 @@ def emit() -> None:
         f"+ fixed {fixed:.1f} = {guidance:.1f} s",
         file=sys.stderr,
     )
-    print(f"# export = {export:.1f} s; hunyuan_stage = 30*dit + export "
-          f"= {hunyuan_stage:.1f} s; total = {est:.1f} s/image",
+    print(f"# export = {export:.1f} s; hunyuan_stage = 30*dit_scanned "
+          f"+ export = {hunyuan_stage:.1f} s; total = {est:.1f} s/image",
           file=sys.stderr)
     if est > 0 and est != float("inf"):
         print(f"# dp=8 projection (batched guidance, v5e-8; host extract "
