@@ -120,7 +120,12 @@ def main() -> None:
     cam = GuidanceCamera(height=H, width=W, fov_deg=45.0)
     sampler = GuidedSampler(dit=dit, vae=vae, camera=cam, config=cfg,
                             max_verts=32768, max_faces=65536, vae_chunk=8192,
-                            raster_faces_per_tile=8192,
+                            # production capacity (the old explicit 8192 here
+                            # silently dropped faces: the bench mesh's true
+                            # per-tile max is 16216 — commit 5e34c22)
+                            raster_faces_per_tile=int(
+                                os.environ.get("FOHO_RASTER_FPT_BENCH",
+                                               "24576")),
                             inloop_coarse_factor=int(
                                 os.environ.get("FOHO_INLOOP_CF", "2")),
                             inloop_cell_cap=int(
