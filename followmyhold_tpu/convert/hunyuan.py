@@ -356,9 +356,20 @@ def main() -> None:
             import yaml
 
             sched_cfg = yaml.safe_load(text)
+        if not isinstance(sched_cfg, dict):
+            parser.error(f"--scheduler_config {args.scheduler_config}: "
+                         f"expected a JSON/YAML mapping with a `shift` key, "
+                         f"got {type(sched_cfg).__name__}")
         # hy3dgen config.yaml nests scheduler params under scheduler.params
         if "shift" not in sched_cfg and "scheduler" in sched_cfg:
-            sched_cfg = sched_cfg["scheduler"].get("params", sched_cfg["scheduler"])
+            sub = sched_cfg["scheduler"]
+            if not isinstance(sub, dict):
+                parser.error(f"--scheduler_config {args.scheduler_config}: "
+                             f"`scheduler` section is not a mapping")
+            sched_cfg = sub.get("params", sub)
+            if not isinstance(sched_cfg, dict):
+                parser.error(f"--scheduler_config {args.scheduler_config}: "
+                             f"`scheduler.params` is not a mapping")
     if sched_cfg:
         from followmyhold_tpu.utils.params import save_scheduler_config
 

@@ -127,7 +127,7 @@ _SNAPSHOT_STRIDE = 8   # 512^2 -> 64^2 in-loop render snapshots (cheap D2H)
 
 # scan-collected scalar diagnostics riding the render-aux dict (skipped by
 # the snapshot-grid dumps, checked against their capacities post-phase)
-_DIAG_CHANNELS = ("hier_cells", "raster_bins")
+_DIAG_CHANNELS = ("hier_cells", "raster_bins", "raster_cap")
 
 
 def _render_snapshot(n01, disp01):
@@ -361,9 +361,14 @@ class GuidedSampler:
                       f"kept interpolated values; raise inloop_cell_cap")
         if "raster_bins" in renders:
             worst = int(np.asarray(renders["raster_bins"]).max())
-            if worst > self.raster_faces_per_tile:
+            # compare against the capacity the kernel ACTUALLY used (can be
+            # below raster_faces_per_tile under FOHO_RASTER_TILE/FPT scaling
+            # — ADVICE r4); the capacity rides its own aux channel
+            cap = (int(np.asarray(renders["raster_cap"]).min())
+                   if "raster_cap" in renders else self.raster_faces_per_tile)
+            if worst > cap:
                 print(f"WARNING: rasterizer bin overflow at {tag}: "
-                      f"{worst}/{self.raster_faces_per_tile} faces in the "
+                      f"{worst}/{cap} faces in the "
                       f"densest tile — overflow faces were DROPPED (wrong "
                       f"pixels and gradients there); raise "
                       f"raster_faces_per_tile")
@@ -453,7 +458,7 @@ class GuidedSampler:
                 + 1e-2 * jnp.mean(p["pose"].trans ** 2)
             )
             aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel,
-                       raster_bins=out.bin_max)
+                       raster_bins=out.bin_max, raster_cap=out.bin_capacity)
             return jnp.where(jnp.isfinite(total), total, 0.0), aux
 
         params = {"pose": obj, "noise": noise_pred}
@@ -564,7 +569,7 @@ class GuidedSampler:
                 + 1e-3 * hand_loss
             )
             aux = dict(_render_snapshot(n01, disp01), hier_cells=n_sel,
-                       raster_bins=out.bin_max)
+                       raster_bins=out.bin_max, raster_cap=out.bin_capacity)
             return jnp.where(jnp.isfinite(total), total, 0.0), aux
 
         params = {"hand": hand, "obj": obj, "noise": noise_pred}
@@ -817,30 +822,13 @@ class GuidedSampler:
         else:
             import numpy as np
 
-            from followmyhold_tpu.models.hunyuan import (
-                compose_hierarchical_grid,
-                hierarchical_decode_fn,
-            )
+            from followmyhold_tpu.models.hunyuan import hierarchical_export_logits
             from followmyhold_tpu.ops.surface import marching_tets_host
 
             # sparse two-level decode: the dense 385^3 decode is ~38 s/image
-            from followmyhold_tpu.models.hunyuan import (
-                EXPORT_CELL_CAP,
-                _refine_point_budget,
-            )
-
-            cap = EXPORT_CELL_CAP
-            g_c, pt_ids, fine, n_sel, n_pts = hierarchical_decode_fn(
-                self.vae, self.box_v, res, chunk=self.vae_chunk,
-                cell_cap=cap)(vae_params, result.latents)
-            sdf = -compose_hierarchical_grid(g_c, fine, res, cell_cap=cap,
-                                             expect_n_pts=int(n_pts),
-                                             pt_ids=pt_ids)
-            pt_cap = _refine_point_budget(4) * cap
-            if int(n_sel) > cap or int(n_pts) > pt_cap:
-                print(f"WARNING: hierarchical decode capacity overflow: "
-                      f"{int(n_sel)}/{cap} surface cells, "
-                      f"{int(n_pts)}/{pt_cap} refine points — raise cell_cap")
+            sdf = -hierarchical_export_logits(self.vae, vae_params,
+                                              result.latents, self.box_v,
+                                              res, chunk=self.vae_chunk)
             hv, hf = marching_tets_host(np.asarray(sdf), [-self.box_v] * 3,
                                         [self.box_v] * 3, res)
             cap_v = max(len(hv), 1)

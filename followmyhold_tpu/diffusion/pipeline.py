@@ -90,30 +90,14 @@ def latents_to_mesh(
     if octree_resolution > device_res_limit:
         import numpy as np
 
-        from followmyhold_tpu.models.hunyuan import (
-            compose_hierarchical_grid,
-            hierarchical_decode_fn,
-        )
+        from followmyhold_tpu.models.hunyuan import hierarchical_export_logits
         from followmyhold_tpu.ops.surface import marching_tets_host
 
         # two-level decode: only surface cells are evaluated at full
         # resolution (the dense 385^3 decode is ~38 s/image; this is ~10x,
         # with refine points deduped across adjacent cells for another ~1.8x)
-        from followmyhold_tpu.models.hunyuan import EXPORT_CELL_CAP as cap
-        from followmyhold_tpu.models.hunyuan import _refine_point_budget
-
-        g_c, pt_ids, fine, n_sel, n_pts = hierarchical_decode_fn(
-            vae, box_v, octree_resolution, chunk=chunk, cell_cap=cap)(
-                vae_params, latents)
-        sdf = -compose_hierarchical_grid(g_c, fine, octree_resolution,
-                                         cell_cap=cap,
-                                         expect_n_pts=int(n_pts),
-                                         pt_ids=pt_ids)
-        pt_cap = _refine_point_budget(4) * cap
-        if int(n_sel) > cap or int(n_pts) > pt_cap:
-            print(f"WARNING: hierarchical decode capacity overflow: "
-                  f"{int(n_sel)}/{cap} surface cells, "
-                  f"{int(n_pts)}/{pt_cap} refine points — raise cell_cap")
+        sdf = -hierarchical_export_logits(vae, vae_params, latents, box_v,
+                                          octree_resolution, chunk=chunk)
         hv, hf = marching_tets_host(np.asarray(sdf), [-box_v] * 3,
                                     [box_v] * 3, octree_resolution)
         verts = jnp.asarray(hv if len(hv) else np.zeros((1, 3), np.float32))

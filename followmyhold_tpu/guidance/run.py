@@ -98,6 +98,36 @@ def build_targets(
     )
 
 
+def _export_and_write(sampler, vae_params, result, targets, config,
+                      cropped_obj_img_path, save_path_obj, save_path_hand,
+                      debug=None):
+    """Final 384^3 export + host extraction + postprocess + PLY writes —
+    the host-bound tail of a per-image run, split out so the serial driver
+    can run it in a worker thread while the NEXT image's sampler occupies
+    the device (VERDICT r4 #5; mirrors run_batch_images' export pool)."""
+    obj_mesh, hand_verts = sampler.export_meshes(
+        vae_params, result, targets,
+        octree_resolution=config.final_octree_resolution)
+
+    nv, nf = int(obj_mesh.num_verts), int(obj_mesh.num_faces)
+    if nv == 0:
+        print(f"Empty mesh for {cropped_obj_img_path}")
+        if debug is not None:
+            debug.close()
+        return None, None
+    verts = np.asarray(obj_mesh.verts)[:nv]
+    faces = np.asarray(obj_mesh.faces)[:nf]
+    verts, faces = remove_floaters(verts, faces)
+    verts, faces = remove_degenerate_faces(verts, faces)
+    verts, faces = reduce_faces(verts, faces)
+    write_ply(save_path_obj, verts, faces)
+    write_ply(save_path_hand, np.asarray(hand_verts),
+              np.asarray(targets.mano_faces))
+    if debug is not None:
+        debug.close()
+    return (verts, faces), np.asarray(hand_verts)
+
+
 def run_hunyuan_w_guid(
     cropped_obj_img_path: str,
     fovx: float,
@@ -114,6 +144,7 @@ def run_hunyuan_w_guid(
     config: OptimizationConfig,
     models=None,
     j_regressor: Optional[np.ndarray] = None,
+    export_pool=None,
 ):
     hand_mask = _load_mask(cropped_hand_mask_path)
     obj_mask = _load_mask(cropped_obj_mask_path)
@@ -151,24 +182,17 @@ def run_hunyuan_w_guid(
 
     # 384^3 final decode parity (pipelines.py:1624-1641): resolutions above
     # export_meshes' device_res_limit take the exact-shape host extraction path
-    obj_mesh, hand_verts = sampler.export_meshes(
-        vae_params, result, targets,
-        octree_resolution=config.final_octree_resolution)
+    def _export():
+        return _export_and_write(sampler, vae_params, result, targets, config,
+                                 cropped_obj_img_path, save_path_obj,
+                                 save_path_hand, debug)
 
-    nv, nf = int(obj_mesh.num_verts), int(obj_mesh.num_faces)
-    if nv == 0:
-        print(f"Empty mesh for {cropped_obj_img_path}")
-        return None, None
-    verts = np.asarray(obj_mesh.verts)[:nv]
-    faces = np.asarray(obj_mesh.faces)[:nf]
-    verts, faces = remove_floaters(verts, faces)
-    verts, faces = remove_degenerate_faces(verts, faces)
-    verts, faces = reduce_faces(verts, faces)
-    write_ply(save_path_obj, verts, faces)
-    write_ply(save_path_hand, np.asarray(hand_verts),
-              np.asarray(targets.mano_faces))
-    debug.close()
-    return (verts, faces), np.asarray(hand_verts)
+    if export_pool is not None:
+        # deferred export: the caller drains the future after the next
+        # image's sampler is on the device, so this image's host extraction
+        # (ctypes native emitter, drops the GIL) overlaps device time
+        return export_pool.submit(_export)
+    return _export()
 
 
 def run_batch_images(image_jobs, config: OptimizationConfig, models,
@@ -228,21 +252,9 @@ def run_batch_images(image_jobs, config: OptimizationConfig, models,
             hand=jax.tree_util.tree_map(lambda x: x[b], result.hand),
             obj=jax.tree_util.tree_map(lambda x: x[b], result.obj))
         tgt_i = jax.tree_util.tree_map(lambda x: x[b], per_image[b][1])
-        obj_mesh, hand_verts = sampler.export_meshes(
-            vae_params, res_i, tgt_i,
-            octree_resolution=config.final_octree_resolution)
-        nv, nf = int(obj_mesh.num_verts), int(obj_mesh.num_faces)
-        if nv == 0:
-            print(f"Empty mesh for {job['cropped_obj_img_path']}")
-            return
-        verts = np.asarray(obj_mesh.verts)[:nv]
-        faces = np.asarray(obj_mesh.faces)[:nf]
-        verts, faces = remove_floaters(verts, faces)
-        verts, faces = remove_degenerate_faces(verts, faces)
-        verts, faces = reduce_faces(verts, faces)
-        write_ply(job["save_path_obj"], verts, faces)
-        write_ply(job["save_path_hand"], np.asarray(hand_verts),
-                  np.asarray(tgt_i.mano_faces))
+        _export_and_write(sampler, vae_params, res_i, tgt_i, config,
+                          job["cropped_obj_img_path"], job["save_path_obj"],
+                          job["save_path_hand"])
 
     # thread the per-image export: the device decodes serialize on the chip's
     # queue anyway, but image A's HOST extraction (compose + native marching
@@ -302,6 +314,27 @@ def run(
                      aligned_mano_dir, guidance_out_dir)
         return
 
+    # image i's host extraction runs in this 1-worker pool while image i+1's
+    # sampler occupies the device (VERDICT r4 #5: previously only the
+    # batched driver overlapped the 2-6 s serial extract)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    prev: Optional[tuple] = None        # (image_id, export future)
+
+    def _finish(entry):
+        if entry is None:
+            return
+        iid, fut = entry
+        try:
+            obj, _hand = fut.result()
+            if obj is None:
+                print(f"Error in reconstruction for {iid}")
+            else:
+                print(f"Reconstructed object {iid}")
+        except Exception as e:  # per-image skip-and-continue (run.py:257-259)
+            print(f"Error in processing {iid} : {e}")
+
     for name in assigned:
         try:
             path = os.path.join(cropped_obj_img_dir, name)
@@ -329,7 +362,7 @@ def run(
                 continue
 
             print(f"Processing {image_id}")
-            obj, hand = run_hunyuan_w_guid(
+            fut = run_hunyuan_w_guid(
                 cropped_obj_img_path=path, fovx=fovx,
                 hamer_for_guid_path=hamer_kps,
                 aligned_mano_mesh_path=aligned_mano,
@@ -339,15 +372,18 @@ def run(
                 T_h2m_path=t_h2m_path,
                 hunyuan_hoi_mesh_path=hunyuan_mesh,
                 save_path_obj=save_obj, save_path_hand=save_hand,
-                config=config, models=models, j_regressor=j_regressor)
-            if obj is None:
-                print(f"Error in reconstruction for {image_id}")
-                continue
-            print(f"Reconstructed object {image_id}")
+                config=config, models=models, j_regressor=j_regressor,
+                export_pool=pool)
+            # drain the PREVIOUS image's export now that this image's device
+            # work is enqueued — its host extract ran behind our sampler
+            _finish(prev)
+            prev = (image_id, fut)
         except Exception as e:  # per-image skip-and-continue (run.py:257-259)
             print(f"Error in processing {name} : {e}")
             continue
 
+    _finish(prev)
+    pool.shutdown(wait=True)
     print("Finished processing all images")
 
 

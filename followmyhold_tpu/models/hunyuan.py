@@ -746,7 +746,8 @@ EXPORT_CELL_CAP = 65536   # exactness needs n_selected <= cap; callers warn
 def hierarchical_decode_fn(vae: ShapeVAE, box_v: float, resolution: int,
                            chunk: int = 8192, coarse_factor: int = 4,
                            cell_cap: int = EXPORT_CELL_CAP,
-                           pad_factor: float = 0.5):
+                           pad_factor: float = 0.5,
+                           transfer_dtype=None):
     """ONE jitted (params, latents) -> (logits, n_selected) program for the
     two-level export decode. Eager execution dispatches each chunk as its own
     RPC over a remote-TPU tunnel (~3 ms each x ~600 chunks dominated the
@@ -755,11 +756,60 @@ def hierarchical_decode_fn(vae: ShapeVAE, box_v: float, resolution: int,
         return vae_query_logits_hierarchical(
             vae, params, latents, [-box_v] * 3, [box_v] * 3, resolution,
             chunk=chunk, coarse_factor=coarse_factor, cell_cap=cell_cap,
-            pad_factor=pad_factor)
+            pad_factor=pad_factor, transfer_dtype=transfer_dtype)
 
     import jax
 
     return jax.jit(f)
+
+
+def export_transfer_dtype():
+    """FOHO_EXPORT_F16=1 ships the export decode's g_c + refine values as
+    f16 (ids stay int32): the ~22 MB of f32 values in the ~41 MB D2H that
+    rides the slow remote-TPU tunnel halve (~5-7 s of the on-bench export
+    cost is this transfer — tools/exp_followup_r4.py). OFF by default: f16
+    rounding breaks the bit-vs-dense exactness guarantee; the device counts
+    sign flips at refined points and hierarchical_export_logits warns if any
+    occurred. Free-standing attached TPUs don't need this."""
+    import os
+
+    return (jnp.float16
+            if os.environ.get("FOHO_EXPORT_F16", "0") == "1" else None)
+
+
+def hierarchical_export_logits(vae: ShapeVAE, params, latents,
+                               box_v: float, resolution: int,
+                               chunk: int = 8192,
+                               cell_cap: int = EXPORT_CELL_CAP,
+                               coarse_factor: int = 4) -> np.ndarray:
+    """Device two-level decode + D2H + host compose with capacity/f16
+    warnings — the one entry point the export paths share (guidance export,
+    pipeline decode, bench). Returns the dense [n_f^3] logits grid (f32);
+    callers negate for the SDF convention. Honors FOHO_EXPORT_F16."""
+    tdt = export_transfer_dtype()
+    out = hierarchical_decode_fn(
+        vae, box_v, resolution, chunk=chunk, coarse_factor=coarse_factor,
+        cell_cap=cell_cap, transfer_dtype=tdt)(params, latents)
+    if tdt is None:
+        g_c, pt_ids, fine, n_sel, n_pts = out
+    else:
+        g_c, pt_ids, fine, n_sel, n_pts, n_flips = out
+        if int(n_flips):
+            print(f"WARNING: FOHO_EXPORT_F16 rounding flipped the sign of "
+                  f"{int(n_flips)} refined-point logits (|logit| < ~6e-8); "
+                  f"the surface may shift by up to one fine cell there — "
+                  f"unset FOHO_EXPORT_F16 for bit-exact export")
+    grid = compose_hierarchical_grid(
+        np.asarray(g_c), np.asarray(fine), resolution,
+        coarse_factor=coarse_factor, cell_cap=cell_cap,
+        expect_n_pts=int(n_pts), pt_ids=np.asarray(pt_ids))
+    pt_cap = min(_refine_point_budget(coarse_factor) * cell_cap,
+                 (resolution + 1) ** 3)
+    if int(n_sel) > cell_cap or int(n_pts) > pt_cap:
+        print(f"WARNING: hierarchical decode capacity overflow: "
+              f"{int(n_sel)}/{cell_cap} surface cells, "
+              f"{int(n_pts)}/{pt_cap} refine points — raise cell_cap")
+    return grid
 
 
 def vae_query_logits_hierarchical(
@@ -773,6 +823,7 @@ def vae_query_logits_hierarchical(
     coarse_factor: int = 4,
     cell_cap: int = 65536,
     pad_factor: float = 0.5,
+    transfer_dtype=None,
 ):
     """Two-level export decode: DEVICE part.
 
@@ -803,6 +854,13 @@ def vae_query_logits_hierarchical(
     cell_cap and n_points to _refine_point_budget(cf)*cell_cap on the host;
     overflow degrades smoothly (missed cells keep background values) but
     warrants a bigger cap.
+
+    transfer_dtype (e.g. jnp.float16, see export_transfer_dtype): cast g_c
+    and the refine values to it before return so the D2H copy ships half the
+    bytes; ids stay int32. Returns a SIXTH element n_flips — the number of
+    valid refined points whose f16-rounded logit changed sign (only
+    |logit| < ~6e-8 can; the caller warns). The host compose then MUST take
+    the transferred pt_ids (the host id recompute needs the exact f32 g_c).
     """
     assert resolution % coarse_factor == 0
     assert latents.shape[0] == 1, "export decode is per-image"
@@ -834,6 +892,13 @@ def vae_query_logits_hierarchical(
     pts_f = lo + jnp.stack([fi, fj, fk], -1).astype(jnp.float32) * step_f
     g_f = _geo_query_grouped(vae, params, kv,
                              pts_f.reshape(1, -1, 3), chunk)[0]  # [point_cap]
+    if transfer_dtype is not None:
+        g_t = g_f.astype(transfer_dtype)
+        valid = jnp.arange(pt_ids.shape[0]) < jnp.minimum(
+            n_pts, pt_ids.shape[0])
+        n_flips = jnp.sum(valid & (jnp.sign(g_t.astype(jnp.float32))
+                                   != jnp.sign(g_f)))
+        return g_c.astype(transfer_dtype), pt_ids, g_t, n_sel, n_pts, n_flips
     return g_c, pt_ids, g_f, n_sel, n_pts
 
 
@@ -909,7 +974,8 @@ def compose_hierarchical_grid(g_c, refine_vals, resolution: int,
                               cell_cap: int = EXPORT_CELL_CAP,
                               pad_factor: float = 0.5,
                               expect_n_pts=None,
-                              pt_ids=None):
+                              pt_ids=None,
+                              expect_ids_digest=None):
     """HOST part of the two-level decode: floor-fill background + exact
     overwrite of refined point values.
 
@@ -919,6 +985,10 @@ def compose_hierarchical_grid(g_c, refine_vals, resolution: int,
     IEEE-f32 host/device selection equivalence); then cell_cap/pad_factor
     MUST match the device call's, and expect_n_pts (the device's n_points)
     cross-checks that the recomputation tracked the device (O(1) canary).
+    expect_ids_digest (optional, fallback path only): the device's
+    refine_ids_digest — an order-invariant uint32 wrap-sum of the ids that
+    also catches count-preserving selection divergences the count canary
+    cannot (a 4-byte transfer instead of the 19 MB id array).
 
     Background fill is FLOOR (each fine point takes its containing coarse
     cell's lower-corner value), not trilinear: every fine cell's corners
@@ -932,6 +1002,11 @@ def compose_hierarchical_grid(g_c, refine_vals, resolution: int,
     degrades). The trilinear upsample this replaces was ~5 s of strided
     passes over 57M floats at 385^3; the floor fill is one broadcast write
     (~0.3 s)."""
+    if pt_ids is None and np.asarray(g_c).dtype == np.float16:
+        raise ValueError(
+            "compose_hierarchical_grid: the host refine-point recompute "
+            "needs the exact f32 g_c; FOHO_EXPORT_F16 requires the "
+            "ids-transferred path (pass pt_ids)")
     g_c = np.asarray(g_c, np.float32)
     refine_vals = np.asarray(refine_vals, np.float32)
     cf = coarse_factor
@@ -961,8 +1036,32 @@ def compose_hierarchical_grid(g_c, refine_vals, resolution: int,
                 f"refine points but the device queried "
                 f"{min(int(expect_n_pts), point_cap)} — host/device "
                 f"selection diverged; refusing to scatter misaligned values")
+    if expect_ids_digest is not None:
+        got = refine_ids_digest(host_ids)
+        if got != int(expect_ids_digest):
+            raise RuntimeError(
+                f"hierarchical compose: host refine-id digest {got} != "
+                f"device digest {int(expect_ids_digest)} — host/device "
+                f"selection diverged with the same count; refusing to "
+                f"scatter misaligned values")
     dense[host_ids] = refine_vals[: host_ids.size]
     return dense
+
+
+def refine_ids_digest(pt_ids) -> int:
+    """Order-invariant digest of refine-point ids: uint32 wraparound sum.
+    Pad rows are id 0 (the fine-lattice origin is coarse-aligned, never a
+    refine point) so the full zero-padded device array and the host's valid
+    prefix digest identically. Device callers should reduce on device and
+    transfer the scalar: int(jax.device_get(jnp.sum(ids.astype(jnp.uint32))))
+    is this function for jax arrays."""
+    import jax as _jax
+
+    if isinstance(pt_ids, _jax.Array):
+        return int(np.asarray(jnp.sum(pt_ids.astype(jnp.uint32),
+                                      dtype=jnp.uint32)))
+    a = np.asarray(pt_ids).astype(np.uint32)
+    return int(a.sum(dtype=np.uint32))
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.decimate_grid.argtypes = [ctypes.c_int32, ctypes.c_int32, f32p, i32p,
                                   ctypes.c_float, ctypes.c_float, ctypes.c_float,
                                   ctypes.c_float, f32p, i32p, i32p]
+    lib.decimate_quadric.restype = ctypes.c_int32
+    lib.decimate_quadric.argtypes = [ctypes.c_int32, ctypes.c_int64, f32p,
+                                     i32p, ctypes.c_int64, f32p, i32p, i32p]
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.marching_tets_cells.restype = ctypes.c_int32
@@ -140,6 +143,31 @@ def marching_tets_cells(s3: np.ndarray, cells: np.ndarray, tets: np.ndarray,
         return None                    # capacity bug — numpy path recovers
     return (out_verts[: int(counts[0])].copy(),
             out_faces[: int(counts[1])].copy())
+
+
+def decimate_quadric(verts: np.ndarray, faces: np.ndarray,
+                     target_faces: int
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Quadric edge-collapse decimation to <= target_faces (the quality path
+    of geometry/postprocess.reduce_faces). Returns (verts, faces) or None
+    when the native lib is unavailable or the input is malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    out_verts = np.empty_like(verts)
+    out_faces = np.empty_like(faces)
+    n_out = np.zeros(1, np.int32)
+    nf = lib.decimate_quadric(
+        len(verts), len(faces),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), _i32(faces),
+        int(target_faces),
+        out_verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _i32(out_faces), _i32(n_out))
+    if nf < 0:
+        return None
+    return out_verts[: int(n_out[0])].copy(), out_faces[:nf].copy()
 
 
 def decimate_grid(verts: np.ndarray, faces: np.ndarray,

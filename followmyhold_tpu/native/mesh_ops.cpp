@@ -12,9 +12,12 @@
 // Loaded via ctypes (followmyhold_tpu/native/__init__.py) with a NumPy
 // fallback when the .so is absent.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -149,6 +152,230 @@ int32_t decimate_grid(int32_t n_verts, int32_t n_faces, const float* verts,
     out_faces[3 * nf + 2] = c;
     nf++;
   }
+  return nf;
+}
+
+// --------------------------------------------------------------------------
+// Quadric edge-collapse decimation (Garland-Heckbert error quadrics).
+//
+// Quality counterpart of decimate_grid for the exported meshes the
+// chamfer-parity metric scores: grid clustering displaces every vertex by up
+// to half a grid cell, while edge collapse moves only the vertices whose
+// removal costs least (the classic FaceReducer/pymeshlab behavior). Candidate
+// positions per edge are {a, b, midpoint} scored by the summed quadric — the
+// "fast" GH variant (no 4x4 solve); on watertight marching-tets meshes the
+// quality difference is negligible and the robustness difference is not.
+// --------------------------------------------------------------------------
+
+namespace {
+
+// 4x4 symmetric quadric, upper-triangular storage:
+// [a00,a01,a02,a03, a11,a12,a13, a22,a23, a33]
+inline double qerr(const double* q, double x, double y, double z) {
+  return q[0] * x * x + 2 * q[1] * x * y + 2 * q[2] * x * z + 2 * q[3] * x +
+         q[4] * y * y + 2 * q[5] * y * z + 2 * q[6] * y + q[7] * z * z +
+         2 * q[8] * z + q[9];
+}
+
+struct HeapEntry {
+  double cost;
+  int32_t a, b;      // canonical a < b, both roots when pushed
+  int32_t va, vb;    // vertex versions at push time (lazy invalidation)
+};
+struct HeapCmp {
+  bool operator()(const HeapEntry& x, const HeapEntry& y) const {
+    return x.cost > y.cost;  // min-heap
+  }
+};
+
+}  // namespace
+
+// Decimate to <= target_faces by quadric edge collapse. Writes compacted
+// vertices/faces; returns the new face count (>= 0) or -1 on invalid input.
+// out_verts must hold n_verts*3 floats, out_faces n_faces*3 int32.
+int32_t decimate_quadric(int32_t n_verts, int64_t n_faces, const float* verts,
+                         const int32_t* faces, int64_t target_faces,
+                         float* out_verts, int32_t* out_faces,
+                         int32_t* n_out_verts) {
+  if (n_verts <= 0 || n_faces <= 0 || target_faces < 0) return -1;
+
+  std::vector<double> vpos(3 * (size_t)n_verts);
+  for (int64_t i = 0; i < 3 * (int64_t)n_verts; ++i) vpos[i] = verts[i];
+
+  // per-vertex quadric = sum of incident faces' area-weighted plane quadrics
+  std::vector<double> Q((size_t)n_verts * 10, 0.0);
+  std::vector<std::vector<int32_t>> vfaces(n_verts);
+  std::vector<uint8_t> alive((size_t)n_faces, 1);
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const int32_t i0 = faces[3 * f], i1 = faces[3 * f + 1],
+                  i2 = faces[3 * f + 2];
+    if (i0 < 0 || i1 < 0 || i2 < 0 || i0 >= n_verts || i1 >= n_verts ||
+        i2 >= n_verts)
+      return -1;
+    const double* p0 = &vpos[3 * (size_t)i0];
+    const double* p1 = &vpos[3 * (size_t)i1];
+    const double* p2 = &vpos[3 * (size_t)i2];
+    const double ux = p1[0] - p0[0], uy = p1[1] - p0[1], uz = p1[2] - p0[2];
+    const double wx = p2[0] - p0[0], wy = p2[1] - p0[1], wz = p2[2] - p0[2];
+    double nx = uy * wz - uz * wy, ny = uz * wx - ux * wz,
+           nz = ux * wy - uy * wx;
+    const double len = std::sqrt(nx * nx + ny * ny + nz * nz);
+    const double area = 0.5 * len;
+    if (len > 1e-30) {
+      nx /= len;
+      ny /= len;
+      nz /= len;
+    } else {
+      nx = ny = nz = 0.0;
+    }
+    const double d = -(nx * p0[0] + ny * p0[1] + nz * p0[2]);
+    const double k[10] = {nx * nx, nx * ny, nx * nz, nx * d, ny * ny,
+                          ny * nz, ny * d,  nz * nz, nz * d, d * d};
+    for (int v = 0; v < 3; ++v) {
+      const int32_t vid = faces[3 * f + v];
+      double* q = &Q[(size_t)vid * 10];
+      for (int j = 0; j < 10; ++j) q[j] += area * k[j];
+      vfaces[vid].push_back((int32_t)f);
+    }
+  }
+
+  std::vector<int32_t> parent(n_verts);
+  for (int32_t i = 0; i < n_verts; ++i) parent[i] = i;
+  std::vector<int32_t> ver((size_t)n_verts, 0);
+
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>, HeapCmp> heap;
+  auto push_edge = [&](int32_t a, int32_t b) {
+    if (a == b) return;
+    if (a > b) std::swap(a, b);
+    const double* qa = &Q[(size_t)a * 10];
+    const double* qb = &Q[(size_t)b * 10];
+    double qs[10];
+    for (int j = 0; j < 10; ++j) qs[j] = qa[j] + qb[j];
+    const double* pa = &vpos[3 * (size_t)a];
+    const double* pb = &vpos[3 * (size_t)b];
+    const double mx = 0.5 * (pa[0] + pb[0]), my = 0.5 * (pa[1] + pb[1]),
+                 mz = 0.5 * (pa[2] + pb[2]);
+    const double ca = qerr(qs, pa[0], pa[1], pa[2]);
+    const double cb = qerr(qs, pb[0], pb[1], pb[2]);
+    const double cm = qerr(qs, mx, my, mz);
+    double c = cm < ca ? (cm < cb ? cm : cb) : (ca < cb ? ca : cb);
+    heap.push(HeapEntry{c, a, b, ver[a], ver[b]});
+  };
+
+  {
+    std::unordered_set<int64_t> seen;
+    seen.reserve((size_t)n_faces * 2);
+    for (int64_t f = 0; f < n_faces; ++f) {
+      for (int e = 0; e < 3; ++e) {
+        int32_t a = faces[3 * f + e], b = faces[3 * f + (e + 1) % 3];
+        if (a == b) continue;
+        if (a > b) std::swap(a, b);
+        const int64_t key = ((int64_t)a << 32) | (uint32_t)b;
+        if (seen.insert(key).second) push_edge(a, b);
+      }
+    }
+  }
+
+  int64_t live_faces = 0;
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const int32_t i0 = faces[3 * f], i1 = faces[3 * f + 1],
+                  i2 = faces[3 * f + 2];
+    if (i0 == i1 || i1 == i2 || i0 == i2) {
+      alive[f] = 0;
+    } else {
+      ++live_faces;
+    }
+  }
+
+  while (live_faces > target_faces && !heap.empty()) {
+    const HeapEntry e = heap.top();
+    heap.pop();
+    // stale if either endpoint was merged away or its quadric/position moved
+    if (parent[e.a] != e.a || parent[e.b] != e.b) continue;
+    if (ver[e.a] != e.va || ver[e.b] != e.vb) continue;
+    const int32_t a = e.a, b = e.b;
+
+    // winning position: best of {a, b, mid} under the summed quadric
+    double qs[10];
+    for (int j = 0; j < 10; ++j) qs[j] = Q[(size_t)a * 10 + j] + Q[(size_t)b * 10 + j];
+    const double* pa = &vpos[3 * (size_t)a];
+    const double* pb = &vpos[3 * (size_t)b];
+    const double cand[3][3] = {
+        {pa[0], pa[1], pa[2]},
+        {pb[0], pb[1], pb[2]},
+        {0.5 * (pa[0] + pb[0]), 0.5 * (pa[1] + pb[1]), 0.5 * (pa[2] + pb[2])}};
+    int best = 0;
+    double bc = qerr(qs, cand[0][0], cand[0][1], cand[0][2]);
+    for (int c = 1; c < 3; ++c) {
+      const double cc = qerr(qs, cand[c][0], cand[c][1], cand[c][2]);
+      if (cc < bc) {
+        bc = cc;
+        best = c;
+      }
+    }
+
+    // collapse b -> a
+    parent[b] = a;
+    vpos[3 * (size_t)a] = cand[best][0];
+    vpos[3 * (size_t)a + 1] = cand[best][1];
+    vpos[3 * (size_t)a + 2] = cand[best][2];
+    for (int j = 0; j < 10; ++j) Q[(size_t)a * 10 + j] = qs[j];
+    ++ver[a];
+    ++ver[b];
+
+    // merge face incidence; kill faces that became degenerate
+    auto& fa = vfaces[a];
+    auto& fb = vfaces[b];
+    for (const int32_t f : fb) {
+      if (!alive[f]) continue;
+      int32_t r[3];
+      for (int v = 0; v < 3; ++v) r[v] = uf_find(parent.data(), faces[3 * f + v]);
+      if (r[0] == r[1] || r[1] == r[2] || r[0] == r[2]) {
+        alive[f] = 0;
+        --live_faces;
+      } else {
+        fa.push_back(f);
+      }
+    }
+    fb.clear();
+    fb.shrink_to_fit();
+
+    // refresh costs of a's surviving edges (old entries are version-stale)
+    std::unordered_set<int32_t> nbrs;
+    for (const int32_t f : fa) {
+      if (!alive[f]) continue;
+      for (int v = 0; v < 3; ++v) {
+        const int32_t u = uf_find(parent.data(), faces[3 * f + v]);
+        if (u != a) nbrs.insert(u);
+      }
+    }
+    for (const int32_t u : nbrs) push_edge(a < u ? a : u, a < u ? u : a);
+  }
+
+  // compact: new ids for root vertices referenced by live faces
+  std::vector<int32_t> newid((size_t)n_verts, -1);
+  int32_t nv = 0;
+  int32_t nf = 0;
+  for (int64_t f = 0; f < n_faces; ++f) {
+    if (!alive[f]) continue;
+    int32_t r[3];
+    for (int v = 0; v < 3; ++v) r[v] = uf_find(parent.data(), faces[3 * f + v]);
+    if (r[0] == r[1] || r[1] == r[2] || r[0] == r[2]) continue;  // paranoia
+    for (int v = 0; v < 3; ++v) {
+      if (newid[r[v]] < 0) {
+        newid[r[v]] = nv;
+        out_verts[3 * nv] = (float)vpos[3 * (size_t)r[v]];
+        out_verts[3 * nv + 1] = (float)vpos[3 * (size_t)r[v] + 1];
+        out_verts[3 * nv + 2] = (float)vpos[3 * (size_t)r[v] + 2];
+        ++nv;
+      }
+    }
+    out_faces[3 * nf] = newid[r[0]];
+    out_faces[3 * nf + 1] = newid[r[1]];
+    out_faces[3 * nf + 2] = newid[r[2]];
+    ++nf;
+  }
+  *n_out_verts = nv;
   return nf;
 }
 

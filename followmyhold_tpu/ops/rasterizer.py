@@ -104,12 +104,18 @@ class RasterOut(NamedTuple):
     normal: jnp.ndarray   # [H,W,3] interpolated vertex normals (unnormalized), 0 where empty
     alpha: jnp.ndarray    # [H,W] soft silhouette in [0,1]
     face_id: jnp.ndarray  # [H,W] int32 winning face, -1 where empty
-    # true (pre-clamp) max faces overlapping one tile: if this exceeds the
-    # faces_per_tile capacity actually used, faces were silently dropped in
-    # the densest tiles (wrong pixels AND wrong gradients there). Callers in
-    # the guidance loop surface it through the same aux-warning channel as
-    # the hier-decode cell overflow.
+    # true (pre-clamp) max faces overlapping one tile: if this exceeds
+    # bin_capacity, faces were silently dropped in the densest tiles (wrong
+    # pixels AND wrong gradients there). Callers in the guidance loop
+    # surface it through the same aux-warning channel as the hier-decode
+    # cell overflow.
     bin_max: jnp.ndarray = None  # int32 scalar
+    # the per-tile face capacity the kernel ACTUALLY used — after
+    # FOHO_RASTER_TILE/FPT scaling (_scale_faces_per_tile) and chunk
+    # rounding, which can differ from the caller's faces_per_tile budget
+    # (ADVICE r4: comparing bin_max against the unscaled budget let
+    # overflow under a smaller effective K go unwarned)
+    bin_capacity: jnp.ndarray = None  # int32 scalar
 
 
 def _face_screen(camera: GuidanceCamera, verts: jnp.ndarray, faces: jnp.ndarray,
@@ -608,7 +614,8 @@ def _rasterize_pallas(camera, tri, tri_n, valid, sigma_px, faces_per_tile):
 
     u = partial(_untile, ty=ty, tx=tx, tile_h=th, tile_w=tw, H=H, W=W)
     return RasterOut(zbuf=u(zbuf), normal=u(normal), face_id=u(fid),
-                     alpha=u(alpha), bin_max=bin_max)
+                     alpha=u(alpha), bin_max=bin_max,
+                     bin_capacity=jnp.asarray(K, jnp.int32))
 
 
 # =========================================================================== #
@@ -716,7 +723,8 @@ def _rasterize_xla(camera, tri, tri_n, valid, sigma_px, tile, faces_per_tile,
 
     u = partial(_untile, ty=ty, tx=tx, tile_h=tile, tile_w=tile, H=H, W=W)
     return RasterOut(zbuf=u(zb), normal=u(nrm), face_id=u(fid), alpha=u(alpha),
-                     bin_max=bin_max)
+                     bin_max=bin_max,
+                     bin_capacity=jnp.asarray(faces_per_tile, jnp.int32))
 
 
 # =========================================================================== #
@@ -745,15 +753,17 @@ def rasterize(
     tri_n = vert_normals[faces]                    # [F,3,3]
     valid = (face_mask > 0) & jnp.all(tri[..., 2] > camera.znear, axis=-1)
 
-    pth, ptw = _pallas_tile_shape()
     use_pallas = (
         _HAS_PALLAS
         and not force_xla
         and not os.environ.get("FOHO_TPU_FORCE_XLA_RASTER")
         and _on_tpu()
-        and H % pth == 0
-        and W % ptw == 0
     )
+    if use_pallas:
+        # parse the env tile shape only where it is used: a malformed
+        # FOHO_RASTER_TILE must not break the XLA/CPU path (ADVICE r4)
+        pth, ptw = _pallas_tile_shape()
+        use_pallas = H % pth == 0 and W % ptw == 0
     if use_pallas:
         return _rasterize_pallas(camera, tri, tri_n, valid, sigma_px,
                                  faces_per_tile)

@@ -185,6 +185,56 @@ def test_refine_point_budget_pins_capacity_sweep():
     assert int(ind) > 256
 
 
+def test_export_f16_transfer_tolerance():
+    """FOHO_EXPORT_F16 device path (transfer_dtype=f16): the composed grid
+    stays within f16 rounding of the f32 compose with zero sign flips on a
+    Lipschitz field, and the fallback-compose guard refuses f16 g_c."""
+    import pytest
+
+    vae = AnalyticVae(_two_spheres)
+    lat = jnp.zeros((1, 4, 4))
+    g_c, pt_ids, fine, n_sel, n_pts, n_flips = vae_query_logits_hierarchical(
+        vae, None, lat, [-BOX] * 3, [BOX] * 3, RES, chunk=4096,
+        cell_cap=4096, transfer_dtype=jnp.float16)
+    assert np.asarray(g_c).dtype == np.float16
+    assert np.asarray(fine).dtype == np.float16
+    assert int(n_flips) == 0
+    hier16 = compose_hierarchical_grid(
+        np.asarray(g_c), np.asarray(fine), RES, cell_cap=4096,
+        expect_n_pts=int(n_pts), pt_ids=np.asarray(pt_ids))
+    hier32, _ = _hier_dense(vae, None, lat, RES, 4096, 4096)
+    scale = np.abs(hier32).max()
+    assert np.abs(hier16 - hier32).max() <= scale * 2.0 ** -10
+    assert (np.sign(hier16) == np.sign(hier32)).all()
+    with pytest.raises(ValueError):   # host id recompute needs exact f32 g_c
+        compose_hierarchical_grid(np.asarray(g_c), np.asarray(fine), RES,
+                                  cell_cap=4096, expect_n_pts=int(n_pts))
+
+
+def test_compose_ids_digest_canary():
+    """The no-pt_ids compose fallback's digest canary (ADVICE r4): an
+    order-invariant uint32 wrap-sum of the ids catches count-preserving
+    host/device selection divergence; device (zero-padded) and host digests
+    agree."""
+    import pytest
+
+    from followmyhold_tpu.models.hunyuan import refine_ids_digest
+
+    vae = AnalyticVae(_two_spheres)
+    lat = jnp.zeros((1, 4, 4))
+    g_c, pt_ids, fine, n_sel, n_pts = vae_query_logits_hierarchical(
+        vae, None, lat, [-BOX] * 3, [BOX] * 3, RES, chunk=4096, cell_cap=4096)
+    dig = refine_ids_digest(pt_ids)        # full zero-padded device array
+    ok = compose_hierarchical_grid(g_c, fine, RES, cell_cap=4096,
+                                   expect_n_pts=int(n_pts),
+                                   expect_ids_digest=dig)
+    assert np.isfinite(ok).all()           # host digest matched the device's
+    with pytest.raises(RuntimeError):      # same count, different selection
+        compose_hierarchical_grid(g_c, fine, RES, cell_cap=4096,
+                                  expect_n_pts=int(n_pts),
+                                  expect_ids_digest=(dig + 1) % (2 ** 32))
+
+
 def test_hierarchical_overflow_degrades_not_crashes():
     vae = AnalyticVae(lambda q: jnp.sin(10 * q).sum(-1) * 0.2)  # many cells
     lat = jnp.zeros((1, 4, 4))

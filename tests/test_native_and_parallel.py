@@ -50,6 +50,47 @@ def test_reduce_faces_structured():
     assert nv.min() >= -1 and nv.max() <= 101
 
 
+def _closed_sphere_mesh(res=48, r=0.8):
+    from followmyhold_tpu.ops.surface import marching_tets_host
+
+    n = res + 1
+    g = np.linspace(-1.1, 1.1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = (np.sqrt(X**2 + Y**2 + Z**2) - r).reshape(-1)
+    return marching_tets_host(sdf, [-1.1] * 3, [1.1] * 3, res)
+
+
+def _watertight(f):
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    _, cnt = np.unique(e, axis=0, return_counts=True)
+    return bool((cnt == 2).all())
+
+
+@pytest.mark.parametrize("method", ["quadric", "grid"])
+def test_reduce_faces_watertight_and_budget(method):
+    """Both decimation paths (VERDICT r4 #7): face budget respected and a
+    closed marching-tets sphere stays watertight (every edge on exactly two
+    faces); the quadric path must beat grid clustering's surface error."""
+    if method == "quadric" and native.get_lib() is None:
+        pytest.skip("no compiler")
+    hv, hf = _closed_sphere_mesh()
+    assert len(hf) > 8000 and _watertight(hf)
+    v2, f2 = reduce_faces(hv, hf, max_faces=2000, method=method)
+    assert 0 < len(f2) <= 2000
+    assert np.isfinite(v2).all()
+    assert f2.min() >= 0 and f2.max() < len(v2)
+    assert _watertight(f2)
+    r = np.linalg.norm(v2, axis=1)
+    rms = float(np.sqrt(((r - 0.8) ** 2).mean()))
+    assert rms < 0.02, rms
+    if method == "quadric":
+        vg, fg = reduce_faces(hv, hf, max_faces=2000, method="grid")
+        rg = np.linalg.norm(vg, axis=1)
+        rms_g = float(np.sqrt(((rg - 0.8) ** 2).mean()))
+        assert rms <= rms_g, (rms, rms_g)
+
+
 def test_native_lib_matches_numpy_components():
     if native.get_lib() is None:
         pytest.skip("no compiler")
