@@ -70,15 +70,15 @@ def _timeit(fn, *args, iters=3):
     return (time.time() - t0) / iters
 
 
-def _scan8(body):
-    """Wrap a carry->carry body in an x8 lax.scan jit; returns ms/iter."""
+def _scan(body, length=8):
+    """Wrap a carry->carry body in an x<length> lax.scan jit."""
 
     @jax.jit
     def run(c, *rest):
         def step(carry, _):
             return body(carry, *rest), ()
 
-        return jax.lax.scan(step, c, None, length=8)[0]
+        return jax.lax.scan(step, c, None, length=length)[0]
 
     return run
 
@@ -139,26 +139,8 @@ def main() -> None:
         g = jax.grad(loss)(p)
         return jax.tree_util.tree_map(lambda a, b: a + b * 1e-12, p, g)
 
-    t = _timeit(_scan8(hand_body), hand0, noise) / 8
+    t = _timeit(_scan(hand_body), hand0, noise) / 8
     print(f"# hand part (transform+render grad): {t*1e3:.1f} ms", file=sys.stderr)
-
-    # ---- decode part: step_final -> hier decode -> marching tets
-    def decode_body(nz, lat):
-        def loss(nz):
-            mesh, sdf, _ = G._decode_object(
-                vae, vae_params, sched, step_i, nz, lat, xyz, bbox, res,
-                sampler.max_verts, sampler.max_faces, sampler.vae_chunk,
-                sampler.inloop_coarse_factor, sampler.inloop_cell_cap,
-                sampler.vae_remat)
-            tri = mesh.verts[mesh.faces]
-            return (jnp.sum(tri * mesh.face_mask[:, None, None])
-                    + jnp.sum(mesh.verts * mesh.vert_mask[:, None]))
-
-        return nz + jax.grad(loss)(nz) * 1e-12
-
-    t = _timeit(_scan8(decode_body), noise, latents) / 8
-    print(f"# decode part (hier decode+mtets grad): {t*1e3:.1f} ms",
-          file=sys.stderr)
 
     # fixed production-shape mesh for the render/nn parts
     mesh0, _, _ = jax.jit(lambda nz: G._decode_object(
@@ -181,7 +163,7 @@ def main() -> None:
 
         return hv + jax.grad(loss)(hv) * 1e-12
 
-    t = _timeit(_scan8(nn_body), hand_verts0, tmesh0.verts) / 8
+    t = _timeit(_scan(nn_body), hand_verts0, tmesh0.verts) / 8
     print(f"# nn part (778x32768 attraction grad): {t*1e3:.1f} ms",
           file=sys.stderr)
 
@@ -206,9 +188,37 @@ def main() -> None:
 
         return overts + jax.grad(loss)(overts) * 1e-12
 
-    t = _timeit(_scan8(hoi_body), tmesh0.verts, hand_verts0) / 8
+    t = _timeit(_scan(hoi_body), tmesh0.verts, hand_verts0) / 8
     print(f"# hoi render part (join+render+losses grad): {t*1e3:.1f} ms",
           file=sys.stderr)
+
+    # ---- decode part LAST: step_final -> hier decode -> marching tets.
+    # The x8 grad scan of this graph reproducibly killed the remote-TPU
+    # compile helper ("Broken pipe", 3/3 attempts 2026-08-20) while the
+    # same body inside the x5 bench phases compiles fine — retry at
+    # decreasing scan lengths so a helper death doesn't lose the number.
+    def decode_body(nz, lat):
+        def loss(nz):
+            mesh, sdf, _ = G._decode_object(
+                vae, vae_params, sched, step_i, nz, lat, xyz, bbox, res,
+                sampler.max_verts, sampler.max_faces, sampler.vae_chunk,
+                sampler.inloop_coarse_factor, sampler.inloop_cell_cap,
+                sampler.vae_remat)
+            tri = mesh.verts[mesh.faces]
+            return (jnp.sum(tri * mesh.face_mask[:, None, None])
+                    + jnp.sum(mesh.verts * mesh.vert_mask[:, None]))
+
+        return nz + jax.grad(loss)(nz) * 1e-12
+
+    for length in (int(os.environ.get("FOHO_JS_LEN", "4")), 2, 1):
+        try:
+            t = _timeit(_scan(decode_body, length), noise, latents) / length
+            print(f"# decode part (hier decode+mtets grad, x{length} scan): "
+                  f"{t*1e3:.1f} ms", file=sys.stderr)
+            break
+        except Exception as e:  # noqa: BLE001 — helper death; shrink graph
+            print(f"# decode part x{length} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:120]}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
