@@ -83,6 +83,43 @@ def _scan(body, length=8):
     return run
 
 
+def _mesh_cache_path() -> str:
+    return os.environ.get("FOHO_JS_MESH", "/tmp/js_mesh0.npz")
+
+
+def _dump_mesh_cpu() -> None:
+    """--dump_mesh mode: decode the fixed production-shape mesh on CPU and
+    save it, so the TPU process can skip the decode compile for the nn/hoi
+    parts when the tunnel compiler is dying on the decode graph (3x broken
+    pipe on 2026-08-20). Params come from the same fast_init seed, and
+    threefry is platform-independent, so the mesh matches the TPU one."""
+    jax.config.update("jax_platforms", "cpu")
+    cfg = OptimizationConfig()
+    vae_cfg = ShapeVAEConfig()
+    sampler_kw = dict(
+        max_verts=32768, max_faces=65536, vae_chunk=8192,
+        inloop_coarse_factor=int(os.environ.get("FOHO_INLOOP_CF", "2")),
+        inloop_cell_cap=int(os.environ.get("FOHO_INLOOP_CAP", "10240")))
+    vae = ShapeVAE(vae_cfg)
+    key = jax.random.key(0)
+    latents = jax.random.normal(key, (1, vae_cfg.num_latents, vae_cfg.embed_dim))
+    vae_params = fast_init(vae.init, latents, jnp.zeros((1, 8, 3)))
+    noise = jax.random.normal(jax.random.key(4), latents.shape)
+    sched = make_schedule(sigmas=np.linspace(0, 1, cfg.num_inference_steps))
+    cam = GuidanceCamera(height=512, width=512, fov_deg=45.0)
+    s = G.GuidedSampler(dit=None, vae=vae, camera=cam, config=cfg, **sampler_kw)
+    xyz, bbox, res = s._grid()
+    mesh, _, _ = G._decode_object(
+        vae, vae_params, sched, 10, noise, latents, xyz, bbox, res,
+        s.max_verts, s.max_faces, s.vae_chunk, s.inloop_coarse_factor,
+        s.inloop_cell_cap, "none")
+    np.savez(_mesh_cache_path(), verts=np.asarray(mesh.verts),
+             faces=np.asarray(mesh.faces),
+             vert_mask=np.asarray(mesh.vert_mask),
+             face_mask=np.asarray(mesh.face_mask))
+    print(f"# dumped mesh to {_mesh_cache_path()}", file=sys.stderr)
+
+
 def main() -> None:
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -142,12 +179,23 @@ def main() -> None:
     t = _timeit(_scan(hand_body), hand0, noise) / 8
     print(f"# hand part (transform+render grad): {t*1e3:.1f} ms", file=sys.stderr)
 
-    # fixed production-shape mesh for the render/nn parts
-    mesh0, _, _ = jax.jit(lambda nz: G._decode_object(
-        vae, vae_params, sched, step_i, nz, latents, xyz, bbox, res,
-        sampler.max_verts, sampler.max_faces, sampler.vae_chunk,
-        sampler.inloop_coarse_factor, sampler.inloop_cell_cap,
-        sampler.vae_remat))(noise)
+    # fixed production-shape mesh for the render/nn parts. The standalone
+    # decode jit reproducibly kills the remote compile helper (4x broken
+    # pipe 2026-08-20, ~30 min each), so load a CPU-decoded copy from the
+    # --dump_mesh cache instead of compiling the decode graph here.
+    cache = _mesh_cache_path()
+    if not os.path.exists(cache):
+        import subprocess
+
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--dump_mesh"], check=True)
+    z = np.load(cache)
+    from followmyhold_tpu.ops.surface import PaddedMesh
+
+    mesh0 = PaddedMesh(verts=jnp.asarray(z["verts"]),
+                       faces=jnp.asarray(z["faces"]),
+                       vert_mask=jnp.asarray(z["vert_mask"]),
+                       face_mask=jnp.asarray(z["face_mask"]))
     tmesh0 = jax.jit(lambda m: G._transform_object(m, targets, obj0))(mesh0)
     print(f"# in-loop mesh: {int(np.asarray(mesh0.vert_mask).sum())} verts, "
           f"{int(np.asarray(mesh0.face_mask).sum())} faces", file=sys.stderr)
@@ -192,6 +240,32 @@ def main() -> None:
     print(f"# hoi render part (join+render+losses grad): {t*1e3:.1f} ms",
           file=sys.stderr)
 
+    # ---- obj render part: the _obj_phase loss minus the decode (fixed mesh,
+    # grad wrt object verts). bench obj_iter minus THIS is the decode cost by
+    # subtraction — the direct decode-grad compile keeps killing the tunnel
+    # helper, so this difference is the robust way to get the decode number.
+    def objrender_body(overts, _hv):
+        def loss(overts):
+            tm = tmesh0._replace(verts=overts)
+            vn = vertex_normals(tm)
+            n01, disp01, out = render_normal_and_disparity(
+                cam, tm.verts, tm.faces, vn, tm.face_mask,
+                fov_deg=targets.fov_deg, **sampler._raster_kw())
+            edges, emask = mesh_edges(tm.faces, tm.face_mask)
+            return (10.0 * normal_alignment_loss(n01, targets.moge_normal,
+                                                 targets.obj_mask)
+                    + 10.0 * masked_l1(disp01, targets.moge_disp,
+                                       targets.obj_mask)
+                    + 100.0 * binary_cross_entropy(out.alpha, targets.obj_mask)
+                    + 1e-3 * verts_reg_loss(tm.verts, tm.vert_mask)
+                    + 1.0 * mesh_edge_loss(tm.verts, edges, emask))
+
+        return overts + jax.grad(loss)(overts) * 1e-12
+
+    t = _timeit(_scan(objrender_body), tmesh0.verts, hand_verts0) / 8
+    print(f"# obj render part (obj-only render+losses grad): {t*1e3:.1f} ms",
+          file=sys.stderr)
+
     # ---- decode part LAST: step_final -> hier decode -> marching tets.
     # The x8 grad scan of this graph reproducibly killed the remote-TPU
     # compile helper ("Broken pipe", 3/3 attempts 2026-08-20) while the
@@ -222,4 +296,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--dump_mesh" in sys.argv:
+        _dump_mesh_cpu()
+    else:
+        main()
