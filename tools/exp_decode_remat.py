@@ -1,25 +1,17 @@
-"""TPU experiment: same-session A/B of the round-4 capacity changes.
+"""TPU experiment: in-loop decode remat mode A/B at production shapes (r5).
 
-VERDICT r4 weak #3: obj/joint iteration drift across BENCH_r04 captures
-(obj 318->353, joint 391->421 ms) was attributed to tunnel variance, but the
-two r4 config changes (in-loop cell cap 8192->10240, raster faces_per_tile
-16384->24576) were never isolated within one tunnel session. This measures
-the obj/joint per-iteration marginal (two scan lengths, slope = marginal —
-the bench.py pattern) for:
+The joint-split experiment pinned the in-loop decode at ~246 ms/iter
+(obj_iter 351 minus the 105 ms fixed-mesh obj-render part) — the dominant
+slice of the joint iteration (59%). The remat knob was last A/B'd on the
+DENSE 65^3 decode (r3: 'tail' slower than 'full', 452 vs 435 ms grad
+epoch) and the default flipped to 'tail' together with the hier decode
+without a post-hier re-measurement (CLAUDE.md: "re-try only combined with
+hier"). The hier decode queries ~128k points vs dense 274k, which shifts
+the HBM-residual vs recompute trade — this measures the obj-phase
+per-iteration marginal (scan-length differencing, the bench pattern) for
+remat in {tail, full, none} in ONE session so tunnel drift cancels.
 
-    A  cap=8192,  fpt=24576   (r4 cap change reverted)
-    B  cap=10240, fpt=24576   (current defaults)
-    C  cap=10240, fpt=16384   (r4 raster-capacity change reverted; NOTE
-                               16384 barely covers the bench mesh's true
-                               per-tile max 16216 — A/B timing only)
-
-in ONE process so tunnel drift cancels. B-A is the cell-cap cost (expected
-~23 ms/1024 cells/iter from the r3 slope measured at cf=2 — i.e. ~0 here
-because the cap only pads the REFINE gather, not the coarse pass);
-B-C is the raster-capacity cost (expected ~5 ms from the r4 raster_grad
-standalone A/B).
-
-Run on TPU: python tools/exp_ab_caps.py      (~15 min incl. compiles)
+Run on TPU: python tools/exp_decode_remat.py      (~30 min incl. compiles)
 """
 
 from __future__ import annotations
@@ -77,7 +69,7 @@ def main() -> None:
     base = G.GuidedSampler(
         dit=None, vae=ShapeVAE(vae_cfg), camera=cam, config=cfg,
         max_verts=32768, max_faces=65536, vae_chunk=8192,
-        inloop_coarse_factor=2, vae_remat="tail")
+        inloop_coarse_factor=2, inloop_cell_cap=10240)
     vae = base.vae
 
     latents = jax.random.normal(jax.random.key(0),
@@ -103,14 +95,13 @@ def main() -> None:
     )
     sched = make_schedule(sigmas=np.linspace(0, 1, cfg.num_inference_steps))
 
-    def measure(tag, cap, fpt):
+    def measure_obj(tag, remat):
         def pair(n_steps):
             c = dataclasses.replace(
                 cfg, optimization_steps_hand=n_steps,
                 optimization_steps_scale=n_steps,
                 optimization_steps_joint=n_steps)
-            return dataclasses.replace(base, config=c, inloop_cell_cap=cap,
-                                       raster_faces_per_tile=fpt)
+            return dataclasses.replace(base, config=c, vae_remat=remat)
 
         s1, s5 = pair(1), pair(5)
 
@@ -123,31 +114,17 @@ def main() -> None:
         t5 = _timeit(obj_phase(s5), G.init_pose(), noise, latents, vae_params,
                      targets)
         obj = max((t5 - t1) / 4, 0.0)
+        print(f"# remat={tag}: obj {obj*1e3:.1f} ms/iter", flush=True)
+        return obj
 
-        def joint_phase(s):
-            return jax.jit(lambda h, o, n, lat, vp, tg: s._joint_phase(
-                h, o, n, lat, vp, tg, sched, 12, near_end=False))
-
-        t1 = _timeit(joint_phase(s1), G.init_pose(), G.init_pose(), noise,
-                     latents, vae_params, targets)
-        t5 = _timeit(joint_phase(s5), G.init_pose(), G.init_pose(), noise,
-                     latents, vae_params, targets)
-        joint = max((t5 - t1) / 4, 0.0)
-        print(f"# {tag} (cap={cap}, fpt={fpt}): obj {obj*1e3:.1f} ms, "
-              f"joint {joint*1e3:.1f} ms", flush=True)
-        return obj, joint
-
-    a = measure("A", 8192, 24576)
-    b = measure("B", 10240, 24576)
-    c = measure("C", 10240, 16384)
-    # second B pass: in-session drift floor for interpreting the deltas
-    b2 = measure("B2", 10240, 24576)
-    print(f"# cell-cap 8192->10240 cost  (B-A): obj {1e3*(b[0]-a[0]):+.1f}, "
-          f"joint {1e3*(b[1]-a[1]):+.1f} ms/iter", flush=True)
-    print(f"# raster fpt 16384->24576 cost (B-C): obj {1e3*(b[0]-c[0]):+.1f}, "
-          f"joint {1e3*(b[1]-c[1]):+.1f} ms/iter", flush=True)
-    print(f"# in-session drift (B2-B): obj {1e3*(b2[0]-b[0]):+.1f}, "
-          f"joint {1e3*(b2[1]-b[1]):+.1f} ms/iter", flush=True)
+    results = {m: measure_obj(m, m) for m in ("tail", "full", "none")}
+    # repeat the default for an in-session drift floor
+    results["tail2"] = measure_obj("tail2", "tail")
+    best = min(("tail", "full", "none"), key=lambda m: results[m])
+    print(f"# best: remat={best} "
+          f"({1e3*(results['tail'] - results[best]):+.1f} ms/iter vs tail; "
+          f"drift floor {1e3*abs(results['tail2']-results['tail']):.1f} ms)",
+          flush=True)
 
 
 if __name__ == "__main__":
