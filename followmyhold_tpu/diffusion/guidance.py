@@ -295,8 +295,10 @@ class GuidedSampler:
     # the 61k-face bench mesh at 128x128 tiles: 16216 faces in one tile —
     # the old 8192 default dropped faces on the bench mesh itself (npix
     # 65460 vs 65523 true). The kernel loops to the TRUE per-tile count, so
-    # capacity beyond it is ~free (K=16384 vs 24576: grad 237.1 vs 236.9 ms
-    # on v5e); 24576 gives 1.5x headroom over the measured worst case.
+    # capacity beyond it is ~free — same-session min-of-5 A/B (exp_ab_caps,
+    # 2026-08-20, drift floor <2 ms): fpt 24576 is actually 5-7 ms/iter
+    # FASTER than 16384 in the obj/joint phases; 24576 gives 1.5x headroom
+    # over the measured worst case.
     # Overflow is now observable: RasterOut.bin_max rides the render-aux
     # channel and warns like the hier-decode cell overflow.
     raster_faces_per_tile: int = 24576
@@ -312,9 +314,12 @@ class GuidedSampler:
     # Cap sizing: the CPU capacity sweep at coarse 33^3, pf=0.5 selects
     # sphere r0.8 = 5176, wavy = 5004, ripple = 6092, box = 8128,
     # box-filling sphere = 8800 cells — 10240 covers the measured worst
-    # case with margin (8192 truncated box-filling spheres EVERY iteration;
-    # post-dedup the cost slope per +1024 cells is small — see CLAUDE.md
-    # r4 TPU notes).
+    # case with margin (8192 truncated box-filling spheres EVERY iteration).
+    # Measured cost of the margin (same-session min-of-5 A/B, exp_ab_caps
+    # 2026-08-20, drift floor <2 ms): cap 8192 -> 10240 costs obj +30.2 /
+    # joint +23.1 ms/iter (~15 ms per +1024 cells: each +1024 cells pads
+    # the deduped refine set by 9*1024 queries ~= 1.1 chunks) — ~13 s/image
+    # for capacity that never silently truncates a boxy object.
     inloop_coarse_factor: int = 2
     inloop_cell_cap: int = 10240
     # geo-query remat granularity: 'full' | 'tail' | 'none' (see
