@@ -160,7 +160,12 @@ def main() -> None:
                                 os.environ.get("FOHO_INLOOP_CF", "2")),
                             inloop_cell_cap=int(
                                 os.environ.get("FOHO_INLOOP_CAP", "10240")),
-                            vae_remat=os.environ.get("FOHO_VAE_REMAT", "tail"))
+                            # two-tier refine capacity; 0 disables the
+                            # lax.cond small branch
+                            inloop_small_cap=(int(
+                                os.environ.get("FOHO_INLOOP_SMALL", "6144"))
+                                or None),
+                            vae_remat=os.environ.get("FOHO_VAE_REMAT", "none"))
 
     key = jax.random.key(0)
     latents = jax.random.normal(key, (1, num_latents, vae_cfg.embed_dim))
@@ -409,6 +414,9 @@ def main() -> None:
         marginal cost stays near the serial joint iter, the dp projection
         (est/N) is about batching efficiency, not a leap of faith."""
         def phase(s):
+            # mirror _jitted_batch_phases: vmapped lax.cond executes both
+            # branches, so the batched path disables the two-tier refine cap
+            s = dataclasses.replace(s, inloop_small_cap=None)
             f = lambda h, o, n, lat, vp, tg: s._joint_phase(  # noqa: E731
                 h, o, n, lat, vp, tg, sched, 12, near_end=False)
             return jax.jit(jax.vmap(f, in_axes=(0, 0, 0, 0, None, 0)))

@@ -166,6 +166,7 @@ def _decode_object(
     vae: ShapeVAE, vae_params, sched: FlowMatchSchedule, step_i,
     noise_pred, latents, xyz, bbox, octree_res, max_verts, max_faces, chunk,
     hier_cf: int = 0, hier_cap: int = 10240, remat: str = "full",
+    hier_small_cap: Optional[int] = None,
 ):
     """step_final -> SDF grid -> padded mesh (hunyuan space), plus the grid.
 
@@ -178,7 +179,8 @@ def _decode_object(
     if hier_cf > 1:
         logits, n_sel = vae_query_logits_hier_grid(
             vae, vae_params, x1, bbox[0], bbox[1], octree_res, chunk,
-            coarse_factor=hier_cf, cell_cap=hier_cap, remat=remat)
+            coarse_factor=hier_cf, cell_cap=hier_cap, remat=remat,
+            small_cell_cap=hier_small_cap)
         logits = logits[0]
     else:
         logits = vae_query_logits(vae, vae_params, x1, xyz[None], chunk,
@@ -322,12 +324,23 @@ class GuidedSampler:
     # for capacity that never silently truncates a boxy object.
     inloop_coarse_factor: int = 2
     inloop_cell_cap: int = 10240
+    # two-tier refine capacity (models/hunyuan.vae_query_logits_hier_grid
+    # small_cell_cap): a lax.cond takes a 6144-cell refine branch whenever
+    # the selected cells + deduped points fit it — exact everywhere, and
+    # sphere-like shapes (5-6k cells) skip ~4k cells of padded refine
+    # queries (~15 ms/iter per 1024 cells, exp_ab_caps). None disables the
+    # second branch; the batched (vmap) driver disables it itself because
+    # vmapped lax.cond executes BOTH branches.
+    inloop_small_cap: Optional[int] = 6144
     # geo-query remat granularity: 'full' | 'tail' | 'none' (see
-    # vae_query_logits docstring; 'tail' skips the flash-fwd re-run in bwd).
-    # 'tail' measured SLOWER with the dense 65^3 decode (residual HBM writes
-    # beat the flash re-run) but WINS under the two-level decode's smaller
-    # query sets (joint 487->442 ms)
-    vae_remat: str = "tail"
+    # vae_query_logits docstring). Same-session min-of-5 A/B on the hier
+    # decode (exp_decode_remat, 2026-08-20, drift floor <1 ms):
+    # obj tail 347.6 / full 386.5 / none 336.2 ms/iter; joint tail 423.4 /
+    # none 403.2 — 'none' wins once the two-level decode shrank the query
+    # set to ~128k (saving residuals beats every recompute flavor). Keep
+    # 'tail'/'full' for memory-constrained deployments (batched vmap runs
+    # multiply activation HBM by the batch size).
+    vae_remat: str = "none"
     # checkpoint scheduler_config shift: the reference applies it to the
     # linspace(0,1) sigmas inside set_timesteps (schedulers.py:199-202) —
     # a checkpoint shipping shift != 1 changes every guided step
@@ -447,7 +460,8 @@ class GuidedSampler:
             mesh, _, n_sel = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
                 xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
-                self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
+                self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat,
+                self.inloop_small_cap)
             tmesh = _transform_object(mesh, targets, p["pose"])
             vn = vertex_normals(tmesh)
             n01, disp01, out = render_normal_and_disparity(
@@ -523,7 +537,8 @@ class GuidedSampler:
             mesh, sdf, n_sel = _decode_object(
                 self.vae, vae_params, sched, step_i, p["noise"], latents,
                 xyz, bbox, res, self.max_verts, self.max_faces, self.vae_chunk,
-                self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat)
+                self.inloop_coarse_factor, self.inloop_cell_cap, self.vae_remat,
+                self.inloop_small_cap)
             tmesh = _transform_object(mesh, targets, p["obj"])
 
             # attraction: squared NN distances hand->obj, clamp(d - 1cm)
@@ -876,7 +891,12 @@ def _jitted_phases(sampler: "GuidedSampler"):
 @functools.lru_cache(maxsize=4)
 def _jitted_batch_phases(sampler: "GuidedSampler"):
     """Batched (vmapped-over-images) variants of the jitted phases. Weights
-    and the schedule broadcast (in_axes None); everything per-image maps."""
+    and the schedule broadcast (in_axes None); everything per-image maps.
+
+    The two-tier refine capacity is disabled here: vmapped lax.cond lowers
+    to both-branches-execute (a select), which would make every image pay
+    small + big refine instead of one of them."""
+    sampler = dataclasses.replace(sampler, inloop_small_cap=None)
     hand_phase = jax.jit(jax.vmap(sampler._hand_phase))
     obj_phase = jax.jit(jax.vmap(
         sampler._obj_phase, in_axes=(0, 0, 0, None, 0, None, None)),

@@ -627,6 +627,7 @@ def vae_query_logits_hier_grid(
     pad_factor: float = 0.5,
     remat_chunks: bool = True,
     remat: Optional[str] = None,
+    small_cell_cap: Optional[int] = None,
 ):
     """DIFFERENTIABLE two-level grid decode -> dense logits [1, (res+1)^3].
 
@@ -662,6 +663,17 @@ def vae_query_logits_hier_grid(
     indicator > cell_cap iff EITHER the cell set or the deduped point set
     overflowed its cap; overflowed cells/points keep interpolated
     (value-approximate) background values — monitor like export's check.
+
+    small_cell_cap: two-tier refine capacity. The refine query set is padded
+    to 9*cell_cap for STATIC shapes, but typical shapes select far fewer
+    cells than the worst-case cap sized for box-filling objects (8800 cells
+    measured vs ~5-6k for sphere-like shapes) — ~15 ms/iter per 1024 cells
+    of pure padding (exp_ab_caps, v5e 2026-08-20). With small_cell_cap set,
+    a lax.cond picks a 9*small_cell_cap refine set whenever the selected
+    cells fit, falling back to the full cell_cap branch otherwise — exact
+    everywhere, and the common case pays only the capacity it needs. Under
+    vmap (batched guidance) lax.cond lowers to both-branches-execute;
+    batched callers should pass small_cell_cap=None.
     """
     assert coarse_factor >= 2, "cf=1 has an empty refine set; use the dense decode"
     assert resolution % coarse_factor == 0
@@ -707,33 +719,59 @@ def vae_query_logits_hier_grid(
     fine_idx = base[:, None, :] + jnp.asarray(offs)[None]        # [K,P,3]
     flat_all = ((fine_idx[..., 0] * n_f + fine_idx[..., 1]) * n_f
                 + fine_idx[..., 2]).reshape(-1)
-    # budget covers every analytic field tested (see _refine_point_budget);
-    # overflow degrades to the interpolated background exactly like cell
-    # overflow and is folded into the returned indicator
-    point_cap = min(_refine_point_budget(cf) * cell_cap, n_f ** 3)
     mark = jnp.zeros((n_f ** 3,), bool).at[flat_all].set(True)
     n_pts = mark.sum()
-    (pt_ids,) = jnp.nonzero(mark, size=point_cap, fill_value=0)
-    pad_pt = jnp.arange(point_cap) >= jnp.minimum(n_pts, point_cap)
-    pt_ids = jnp.where(pad_pt, pt_ids[0], pt_ids)
-    fi = pt_ids // (n_f * n_f)
-    fj = (pt_ids // n_f) % n_f
-    fk = pt_ids % n_f
-    pts_f = lo + jnp.stack([fi, fj, fk], -1).astype(jnp.float32) * step_f
-    g_f = _geo_query_grouped(vae, params, kv, pts_f.reshape(1, -1, 3),
-                             chunk, remat_chunks, remat=remat)[0]  # [point_cap]
+    dense_bg = _upsample_corner_aligned(g_c3, cf).reshape(-1)    # [n_f^3]
 
-    # ---- compose: trilinear background + delta/multiplicity scatter ----
-    dense = _upsample_corner_aligned(g_c3, cf).reshape(-1)       # [n_f^3]
-    up_at = dense[pt_ids]
-    mult = jnp.zeros(n_f ** 3, jnp.float32).at[pt_ids].add(1.0)
-    dense = dense.at[pt_ids].add((g_f - up_at) / jnp.maximum(mult[pt_ids], 1.0))
-    # capacity indicator: exceeds cell_cap iff the cell OR the point set
-    # overflowed its cap (points scaled into cell units so callers keep one
-    # threshold); int32-safe via float (n_pts*cell_cap can pass 2^31)
-    pts_scaled = jnp.ceil(
-        n_pts.astype(jnp.float32) / point_cap * cell_cap).astype(jnp.int32)
-    return dense[None], jnp.maximum(n_sel, pts_scaled)
+    def refine_and_compose(cap_cells: int):
+        """Query the marked points at a 9*cap_cells static budget and compose.
+        pt_ids beyond mark's true count pad with point 0; the delta/
+        multiplicity scatter keeps the padded duplicates value- and
+        gradient-exact, so two capacities that both fit n_pts compose to
+        IDENTICAL dense grids (the small-cap lax.cond branch below relies on
+        this). Budget covers every analytic field tested (see
+        _refine_point_budget); overflow degrades to the interpolated
+        background exactly like cell overflow and is folded into the
+        returned indicator."""
+        point_cap = min(_refine_point_budget(cf) * cap_cells, n_f ** 3)
+        (pt_ids,) = jnp.nonzero(mark, size=point_cap, fill_value=0)
+        pad_pt = jnp.arange(point_cap) >= jnp.minimum(n_pts, point_cap)
+        pt_ids = jnp.where(pad_pt, pt_ids[0], pt_ids)
+        fi = pt_ids // (n_f * n_f)
+        fj = (pt_ids // n_f) % n_f
+        fk = pt_ids % n_f
+        pts_f = lo + jnp.stack([fi, fj, fk], -1).astype(jnp.float32) * step_f
+        g_f = _geo_query_grouped(vae, params, kv, pts_f.reshape(1, -1, 3),
+                                 chunk, remat_chunks, remat=remat)[0]
+
+        # ---- compose: trilinear background + delta/multiplicity scatter ----
+        up_at = dense_bg[pt_ids]
+        mult = jnp.zeros(n_f ** 3, jnp.float32).at[pt_ids].add(1.0)
+        dense = dense_bg.at[pt_ids].add(
+            (g_f - up_at) / jnp.maximum(mult[pt_ids], 1.0))
+        # capacity indicator: exceeds cell_cap iff the cell OR the point set
+        # overflowed its cap (points scaled into cell units so callers keep
+        # one threshold); int32-safe via float (n_pts*cell_cap can pass 2^31)
+        pts_scaled = jnp.ceil(n_pts.astype(jnp.float32) / point_cap
+                              * cell_cap).astype(jnp.int32)
+        return dense, jnp.maximum(n_sel, pts_scaled)
+
+    small = None if small_cell_cap is None else min(small_cell_cap, res_c ** 3)
+    if small is not None and small < cell_cap:
+        # two-tier: the small branch is taken when BOTH the cell set and the
+        # marked point set fit its budgets. The mark union above was built
+        # from the BIG-cap cell gather, so the small branch never truncates
+        # cells — only the point budget binds, and when it fits the two
+        # branches compose identically (see refine_and_compose docstring).
+        fits = ((n_sel <= small)
+                & (n_pts <= _refine_point_budget(cf) * small))
+        dense, indicator = jax.lax.cond(
+            fits,
+            lambda: refine_and_compose(small),
+            lambda: refine_and_compose(cell_cap))
+    else:
+        dense, indicator = refine_and_compose(cell_cap)
+    return dense[None], indicator
 
 
 import functools

@@ -372,3 +372,54 @@ def test_hier_grid_pf_default_survives_adversarial_field():
     assert len(sv) == len(hv) and len(sf) == len(hf)
     np.testing.assert_allclose(sv, hv, atol=1e-5)
     np.testing.assert_array_equal(sf, hf)
+
+
+def test_hier_grid_small_cap_branches_exact():
+    """Two-tier refine capacity (small_cell_cap lax.cond): both branches must
+    reproduce the single-capacity decode exactly — values AND the production
+    gradient path — whichever branch the predicate picks."""
+    res = 32
+    vae = AnalyticVaeLatentSphere()
+    lat = jnp.asarray([[[0.3, -0.2, 0.1, 0.05]]])
+
+    def loss(l, small):
+        logits, _ = vae_query_logits_hier_grid(
+            vae, None, l, [-BOX] * 3, [BOX] * 3, res, chunk=4096,
+            coarse_factor=2, cell_cap=2048, small_cell_cap=small)
+        return _mesh_loss(logits[0], res)
+
+    v_ref, g_ref = jax.value_and_grad(lambda l: loss(l, None))(lat)
+    # small branch taken: a res/2=16 grid selects well under 1024 cells.
+    # Values are exact; gradients see f32 summation-order noise from the
+    # different refine-chunk padding (same class as dense-vs-hier, rtol 1e-4)
+    v_s, g_s = jax.value_and_grad(lambda l: loss(l, 1024))(lat)
+    np.testing.assert_allclose(v_s, v_ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(g_s, g_ref, rtol=1e-4, atol=1e-5)
+    # big branch forced: a 2-cell small cap can never fit the sphere shell.
+    # Same static shapes as ref, but the lax.cond wrapper moves XLA fusion
+    # boundaries in the backward — f32 rounding shifts ~2e-6 rel
+    v_b, g_b = jax.value_and_grad(lambda l: loss(l, 2))(lat)
+    np.testing.assert_allclose(v_b, v_ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(g_b, g_ref, rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(g_ref)).max() > 1e-4
+
+
+def test_hier_grid_small_cap_vmaps_both_branches():
+    """Vmapped lax.cond lowers to both-branches-execute; results must still
+    match the unbatched decode per element (the batched driver disables the
+    small cap for SPEED, not correctness)."""
+    res = 16
+    vae = AnalyticVaeLatentSphere()
+    lats = jnp.asarray([[[[0.3, -0.2, 0.1, 0.05]]], [[[-0.4, 0.3, 0.0, 0.2]]]])
+
+    def f(l):
+        logits, n_sel = vae_query_logits_hier_grid(
+            vae, None, l, [-BOX] * 3, [BOX] * 3, res, chunk=512,
+            coarse_factor=2, cell_cap=512, small_cell_cap=128)
+        return logits, n_sel
+
+    batched, _ = jax.vmap(f)(lats)
+    for i in range(2):
+        one, _ = f(lats[i])
+        np.testing.assert_allclose(np.asarray(batched[i]), np.asarray(one),
+                                   rtol=1e-6, atol=1e-6)

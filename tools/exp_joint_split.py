@@ -133,7 +133,7 @@ def main() -> None:
         max_verts=32768, max_faces=65536, vae_chunk=8192,
         inloop_coarse_factor=int(os.environ.get("FOHO_INLOOP_CF", "2")),
         inloop_cell_cap=int(os.environ.get("FOHO_INLOOP_CAP", "10240")),
-        vae_remat=os.environ.get("FOHO_VAE_REMAT", "tail"))
+        vae_remat=os.environ.get("FOHO_VAE_REMAT", "none"))
     vae = sampler.vae
 
     key = jax.random.key(0)

@@ -1,17 +1,17 @@
-"""TPU experiment: in-loop decode remat mode A/B at production shapes (r5).
+"""TPU experiment: two-tier refine capacity (lax.cond small branch) A/B (r5).
 
-The joint-split experiment pinned the in-loop decode at ~246 ms/iter
-(obj_iter 351 minus the 105 ms fixed-mesh obj-render part) — the dominant
-slice of the joint iteration (59%). The remat knob was last A/B'd on the
-DENSE 65^3 decode (r3: 'tail' slower than 'full', 452 vs 435 ms grad
-epoch) and the default flipped to 'tail' together with the hier decode
-without a post-hier re-measurement (CLAUDE.md: "re-try only combined with
-hier"). The hier decode queries ~128k points vs dense 274k, which shifts
-the HBM-residual vs recompute trade — this measures the obj-phase
-per-iteration marginal (scan-length differencing, the bench pattern) for
-remat in {tail, full, none} in ONE session so tunnel drift cancels.
+The in-loop hier decode pads its refine query set to 9*cell_cap = 92,160
+points for static shapes, while the bench mesh needs far fewer; the
+small_cell_cap lax.cond (models/hunyuan.vae_query_logits_hier_grid) takes a
+9*6144 = 55,296-point branch whenever the selected cells + deduped points
+fit — exact everywhere. This measures the obj/joint per-iteration marginal
+with the branch ON (6144) vs OFF (None) in ONE session, min-of-5 timing,
+plus a repeat of ON for the drift floor.
 
-Run on TPU: python tools/exp_decode_remat.py      (~30 min incl. compiles)
+Expected from the exp_ab_caps slope (~15 ms/iter per 1024 cells of
+padding): ~-60 ms/iter when the small branch is taken every iteration.
+
+Run on TPU: python tools/exp_small_cap.py      (~30 min incl. compiles)
 """
 
 from __future__ import annotations
@@ -47,9 +47,7 @@ def _sync(out):
 
 
 def _timeit(fn, *args, iters=5):
-    """Min-of-N: the tunnel adds large positive noise spikes (hundreds of ms
-    observed 2026-08-20, swamping a mean-of-2 difference), and min is robust
-    to additive spikes while mean is not."""
+    """Min-of-N: robust to the tunnel's additive noise spikes."""
     _sync(fn(*args))  # compile
     best = None
     for _ in range(iters):
@@ -69,7 +67,7 @@ def main() -> None:
     base = G.GuidedSampler(
         dit=None, vae=ShapeVAE(vae_cfg), camera=cam, config=cfg,
         max_verts=32768, max_faces=65536, vae_chunk=8192,
-        inloop_coarse_factor=2, inloop_cell_cap=10240)
+        inloop_coarse_factor=2, inloop_cell_cap=10240, vae_remat="none")
     vae = base.vae
 
     latents = jax.random.normal(jax.random.key(0),
@@ -95,13 +93,13 @@ def main() -> None:
     )
     sched = make_schedule(sigmas=np.linspace(0, 1, cfg.num_inference_steps))
 
-    def measure_obj(tag, remat):
+    def measure(tag, small):
         def pair(n_steps):
             c = dataclasses.replace(
                 cfg, optimization_steps_hand=n_steps,
                 optimization_steps_scale=n_steps,
                 optimization_steps_joint=n_steps)
-            return dataclasses.replace(base, config=c, vae_remat=remat)
+            return dataclasses.replace(base, config=c, inloop_small_cap=small)
 
         s1, s5 = pair(1), pair(5)
 
@@ -114,28 +112,6 @@ def main() -> None:
         t5 = _timeit(obj_phase(s5), G.init_pose(), noise, latents, vae_params,
                      targets)
         obj = max((t5 - t1) / 4, 0.0)
-        print(f"# remat={tag}: obj {obj*1e3:.1f} ms/iter", flush=True)
-        return obj
-
-    results = {m: measure_obj(m, m) for m in ("tail", "full", "none")}
-    # repeat the default for an in-session drift floor
-    results["tail2"] = measure_obj("tail2", "tail")
-    best = min(("tail", "full", "none"), key=lambda m: results[m])
-    print(f"# best: remat={best} "
-          f"({1e3*(results['tail'] - results[best]):+.1f} ms/iter vs tail; "
-          f"drift floor {1e3*abs(results['tail2']-results['tail']):.1f} ms)",
-          flush=True)
-
-    # confirm the winner transfers to the joint phase (tail vs winner only)
-    def measure_joint(tag, remat):
-        def pair(n_steps):
-            c = dataclasses.replace(
-                cfg, optimization_steps_hand=n_steps,
-                optimization_steps_scale=n_steps,
-                optimization_steps_joint=n_steps)
-            return dataclasses.replace(base, config=c, vae_remat=remat)
-
-        s1, s5 = pair(1), pair(5)
 
         def joint_phase(s):
             return jax.jit(lambda h, o, n, lat, vp, tg: s._joint_phase(
@@ -146,11 +122,17 @@ def main() -> None:
         t5 = _timeit(joint_phase(s5), G.init_pose(), G.init_pose(), noise,
                      latents, vae_params, targets)
         joint = max((t5 - t1) / 4, 0.0)
-        print(f"# remat={tag}: joint {joint*1e3:.1f} ms/iter", flush=True)
+        print(f"# {tag} (small_cap={small}): obj {obj*1e3:.1f} ms, "
+              f"joint {joint*1e3:.1f} ms", flush=True)
+        return obj, joint
 
-    if best != "tail":
-        measure_joint("tail", "tail")
-        measure_joint(best, best)
+    off = measure("OFF", None)
+    on = measure("ON", 6144)
+    on2 = measure("ON2", 6144)
+    print(f"# small-branch win (ON-OFF): obj {1e3*(on[0]-off[0]):+.1f}, "
+          f"joint {1e3*(on[1]-off[1]):+.1f} ms/iter", flush=True)
+    print(f"# in-session drift (ON2-ON): obj {1e3*(on2[0]-on[0]):+.1f}, "
+          f"joint {1e3*(on2[1]-on[1]):+.1f} ms/iter", flush=True)
 
 
 if __name__ == "__main__":
