@@ -160,10 +160,11 @@ def main() -> None:
                                 os.environ.get("FOHO_INLOOP_CF", "2")),
                             inloop_cell_cap=int(
                                 os.environ.get("FOHO_INLOOP_CAP", "10240")),
-                            # two-tier refine capacity; 0 disables the
-                            # lax.cond small branch
+                            # two-tier refine capacity knob; 0 (default)
+                            # disables the lax.cond small branch — measured
+                            # net-negative over the tunnel (exp_small_cap)
                             inloop_small_cap=(int(
-                                os.environ.get("FOHO_INLOOP_SMALL", "6144"))
+                                os.environ.get("FOHO_INLOOP_SMALL", "0"))
                                 or None),
                             vae_remat=os.environ.get("FOHO_VAE_REMAT", "none"))
 

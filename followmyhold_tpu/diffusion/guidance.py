@@ -325,13 +325,19 @@ class GuidedSampler:
     inloop_coarse_factor: int = 2
     inloop_cell_cap: int = 10240
     # two-tier refine capacity (models/hunyuan.vae_query_logits_hier_grid
-    # small_cell_cap): a lax.cond takes a 6144-cell refine branch whenever
-    # the selected cells + deduped points fit it — exact everywhere, and
-    # sphere-like shapes (5-6k cells) skip ~4k cells of padded refine
-    # queries (~15 ms/iter per 1024 cells, exp_ab_caps). None disables the
-    # second branch; the batched (vmap) driver disables it itself because
-    # vmapped lax.cond executes BOTH branches.
-    inloop_small_cap: Optional[int] = 6144
+    # small_cell_cap): a lax.cond takes a 9*small_cap-point refine branch
+    # whenever the selected cells + deduped points fit it — exact everywhere
+    # (tested both branches + vmap). MEASURED NET-NEGATIVE on v5e
+    # (exp_small_cap, min-of-5, 2026-08-20): wrapping the decode in cond
+    # costs obj +21 / joint +27 ms/iter even when the BIG branch executes —
+    # grad-of-cond unions both branches' residuals, so each iteration also
+    # writes the untaken branch's residual buffers — and the bench field
+    # selects 6264-6267 cells ON TPU (bf16 matmuls pick ~12% more
+    # near-threshold cells than the CPU estimate of 5582), so a 6144 small
+    # cap is never taken and 8192 would at best break even against the
+    # ~15 ms/1024-cell padding slope. Default OFF; kept as a knob with its
+    # tests for attached-TPU deployments where the trade may differ.
+    inloop_small_cap: Optional[int] = None
     # geo-query remat granularity: 'full' | 'tail' | 'none' (see
     # vae_query_logits docstring). Same-session min-of-5 A/B on the hier
     # decode (exp_decode_remat, 2026-08-20, drift floor <1 ms):

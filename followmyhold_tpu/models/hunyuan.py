@@ -674,6 +674,13 @@ def vae_query_logits_hier_grid(
     everywhere, and the common case pays only the capacity it needs. Under
     vmap (batched guidance) lax.cond lowers to both-branches-execute;
     batched callers should pass small_cell_cap=None.
+
+    MEASURED NET-NEGATIVE inside the guidance grad loops on v5e
+    (exp_small_cap, 2026-08-20): differentiating through the cond unions
+    both branches' residuals, costing +21-27 ms/iter even when only the big
+    branch ever executes — see GuidedSampler.inloop_small_cap (default
+    None). The machinery is kept for forward-only decodes and deployments
+    where the trade differs.
     """
     assert coarse_factor >= 2, "cf=1 has an empty refine set; use the dense decode"
     assert resolution % coarse_factor == 0
