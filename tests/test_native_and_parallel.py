@@ -198,3 +198,24 @@ def test_scanned_block_kernels_carry_tp():
     out_tp = jax.jit(dit.apply)(sharded, lat, jnp.zeros(1), cond)
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_tp),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_reduce_faces_quadric_precluster_path():
+    """The big-mesh pre-cluster (grid pass before edge collapse) must respect
+    the budget, stay watertight, and keep quadric-class surface error.
+    FOHO_QUADRIC_PRECLUSTER lowers the trigger so a test-size sphere takes
+    the production 2.56M-face code path."""
+    if native.get_lib() is None:
+        pytest.skip("no compiler")
+    hv, hf = _closed_sphere_mesh()
+    import os
+    os.environ["FOHO_QUADRIC_PRECLUSTER"] = "1000"
+    try:
+        v2, f2 = reduce_faces(hv, hf, max_faces=1000, method="quadric")
+    finally:
+        del os.environ["FOHO_QUADRIC_PRECLUSTER"]
+    assert 0 < len(f2) <= 1000
+    assert _watertight(f2)
+    r = np.linalg.norm(v2, axis=1)
+    rms = float(np.sqrt(((r - 0.8) ** 2).mean()))
+    assert rms < 0.02, rms
